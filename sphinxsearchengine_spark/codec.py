@@ -1,0 +1,75 @@
+"""Delta + varbyte posting codec (numpy-vectorized).
+
+The reference's index keeps positional postings compressed (Sphinx RT
+segments use delta+varbyte wordlists/doclists — public Sphinx docs; see
+SURVEY.md §1.3).  We store per-(term,field,docid) position lists as
+protobuf-style varints over deltas, encoded/decoded with numpy array ops
+so the hot path never loops per element in Python.
+
+Layout: values v_0, v_1-v_0, v_2-v_1, ... each emitted little-endian in
+7-bit groups, high bit = continuation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_THRESHOLDS = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Varbyte-encode a uint64 array (no delta)."""
+    arr = np.ascontiguousarray(values, dtype=np.uint64)
+    if arr.size == 0:
+        return b""
+    nbytes = np.ones(arr.size, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += arr >= t
+    ends = np.cumsum(nbytes)
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    starts = ends - nbytes
+    for k in range(10):
+        mask = nbytes > k
+        if not mask.any():
+            break
+        idx = starts[mask] + k
+        group = (arr[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nbytes[mask] - 1 > k).astype(np.uint8) << 7
+        out[idx] = group.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def vb_decode(buf: bytes) -> np.ndarray:
+    """Inverse of :func:`vb_encode`; returns uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    val_idx = np.zeros(b.size, dtype=np.int64)
+    np.cumsum(is_last[:-1], out=val_idx[1:])
+    n_vals = int(is_last.sum())
+    last_pos = np.flatnonzero(is_last)
+    starts = np.zeros(n_vals, dtype=np.int64)
+    starts[1:] = last_pos[:-1] + 1
+    within = (np.arange(b.size) - starts[val_idx]).astype(np.uint64)
+    vals = np.zeros(n_vals, dtype=np.uint64)
+    np.bitwise_or.at(
+        vals, val_idx, (b & np.uint8(0x7F)).astype(np.uint64) << (within * np.uint64(7))
+    )
+    return vals
+
+
+def delta_encode(sorted_values: np.ndarray) -> bytes:
+    """Delta+varbyte encode a non-decreasing uint64 sequence."""
+    arr = np.ascontiguousarray(sorted_values, dtype=np.uint64)
+    if arr.size == 0:
+        return b""
+    deltas = np.empty_like(arr)
+    deltas[0] = arr[0]
+    np.subtract(arr[1:], arr[:-1], out=deltas[1:])
+    return vb_encode(deltas)
+
+
+def delta_decode(buf: bytes) -> np.ndarray:
+    deltas = vb_decode(buf)
+    return np.cumsum(deltas, dtype=np.uint64)

@@ -1,0 +1,145 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1).
+
+Generates the input table of exactly the shape mandated by
+``BASELINE.json input_hint``: ``(repo, path, commit, lang, content)``, then
+derives the engine's document columns (SURVEY.md §1.1 mapping of the
+reference schema at sphinx.conf:4-21):
+
+- ``docid = xxhash64(repo, path, commit)``  (analog of RT BIGINT id,
+  SphinxSearchEngine_class.php:377,524)
+- ``content_sha = sha256(content)``          (per-row invariant)
+- ``category = [repo, lang]``                (ArrayType, replaces the
+  '|'-joined string of SphinxSearchEngine_class.php:371-372)
+- ``category_search``                        (mangled tokens, :348-359)
+- ``date_insert <= date_modify``             (sphinx.conf:13-14), pinned
+  deterministic timestamps (no wall clock)
+
+Content is seeded token soup per doc id, mixing English/Russian words,
+blend-char identifiers, 1-char droppables, plus planted terms:
+- ``needleuniq``      in exactly one doc  (rare-term tests)
+- ``hotterm``         in ~50% of docs     (skew/salting tests)
+- ``alpha beta``      adjacent pair       (phrase tests)
+Generation is distributed (mapInPandas over spark.range) and depends
+only on doc index, never on partitioning — identical at any parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sphinxsearchengine_spark.config import FIELD_SIZE_CAP
+from sphinxsearchengine_spark.text.tokenizer import mangle_category
+
+SEED = 42
+
+EN_WORDS = (
+    "query engine index search token document ranking score field weight "
+    "partition shuffle broadcast column vector batch stream window merge "
+    "join filter group order limit offset parse plan optimize execute "
+    "running searches indexed matching relational generalization caching "
+    "buffer memory disk segment compress encode decode posting dictionary "
+    "checkpoint lineage manifest resume cluster executor driver task stage"
+).split()
+
+RU_WORDS = (
+    "поиск запрос индекс слово документ база данные система машина книга "
+    "страница категория заголовок текст число время работа файл строка "
+    "таблица функция модуль процесс память диск сеть узел кластер задача"
+).split()
+
+IDENT_HEADS = ["get", "set", "build", "parse", "read", "write", "merge", "scan"]
+IDENT_TAILS = ["index", "config", "buffer", "token", "field", "stats", "batch"]
+BLENDS = "_-&+@$"
+
+LANGS = ["python", "php", "rust", "go", "java"]
+
+CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def _doc_content(rng: np.random.RandomState, i: int) -> str:
+    n = 40 + int(rng.randint(0, 160))
+    words = []
+    for _ in range(n):
+        r = rng.randint(0, 100)
+        if r < 55:
+            words.append(EN_WORDS[rng.randint(0, len(EN_WORDS))])
+        elif r < 70:
+            words.append(RU_WORDS[rng.randint(0, len(RU_WORDS))])
+        elif r < 85:
+            blend = BLENDS[rng.randint(0, len(BLENDS))]
+            words.append(
+                IDENT_HEADS[rng.randint(0, len(IDENT_HEADS))]
+                + blend
+                + IDENT_TAILS[rng.randint(0, len(IDENT_TAILS))]
+            )
+        elif r < 92:
+            words.append("xyzq"[rng.randint(0, 4)])  # 1-char droppables
+        else:
+            words.append(str(rng.randint(0, 9999)))
+    if i == 0:
+        words.insert(int(rng.randint(0, len(words))), "needleuniq")
+    if rng.randint(0, 2) == 0:
+        words.insert(int(rng.randint(0, len(words))), "hotterm")
+    if rng.randint(0, 4) == 0:
+        k = int(rng.randint(0, len(words)))
+        words[k:k] = ["alpha", "beta"]
+    return " ".join(words)
+
+
+def _gen_batch(pdf_iter):
+    for pdf in pdf_iter:
+        rows = []
+        for i in pdf["id"].to_numpy():
+            rng = np.random.RandomState(SEED + int(i))
+            repo = f"org{i % 7}/repo{i % 50}"
+            lang = LANGS[int(i) % len(LANGS)]
+            path = f"src/mod{i % 13}/file_{i}.{lang[:2]}"
+            commit = "".join("0123456789abcdef"[b % 16] for b in rng.randint(0, 256, 40))
+            rows.append((repo, path, commit, lang, _doc_content(rng, int(i))))
+        yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+
+def generate_corpus(spark: SparkSession, n_docs: int, partitions: int = 8) -> DataFrame:
+    """Distributed deterministic corpus of `n_docs` files."""
+    return spark.range(0, n_docs, numPartitions=partitions).mapInPandas(
+        _gen_batch, schema=CORPUS_SCHEMA
+    )
+
+
+# Pinned epoch window for deterministic timestamps (no wall clock):
+# date_insert in [2020-09-13, +3y), date_modify in [insert, insert+1y).
+_TS_BASE = 1_600_000_000
+_TS_SPAN = 94_608_000  # 3 years
+_TS_MOD_SPAN = 31_536_000  # 1 year
+
+# Pinned "query time" used by tests/bench for the freshness ranker term
+# (the reference's now() at SphinxSearchEngine_class.php:113 — pinned for
+# determinism per SURVEY.md §7 hard-part (c)).
+PINNED_NOW = _TS_BASE + _TS_SPAN + _TS_MOD_SPAN
+
+
+def derive_documents(corpus: DataFrame) -> DataFrame:
+    """Corpus table -> engine document table (all native column fns)."""
+    mangle = F.udf(mangle_category)  # tiny cols only (repo/lang), not hot path
+    return (
+        corpus.withColumn("docid", F.xxhash64("repo", "path", "commit"))
+        .withColumn("content", F.substring("content", 1, FIELD_SIZE_CAP))
+        .withColumn("content_sha", F.sha2(F.col("content"), 256))
+        .withColumn("category", F.array("repo", "lang"))
+        .withColumn(
+            "category_search",
+            F.concat_ws(" ", mangle(F.col("repo")), mangle(F.col("lang"))),
+        )
+        .withColumn(
+            "date_insert",
+            F.lit(_TS_BASE) + F.pmod(F.xxhash64("docid"), F.lit(_TS_SPAN)),
+        )
+        .withColumn(
+            "date_modify",
+            F.col("date_insert")
+            + F.pmod(F.xxhash64("docid", F.lit(1)), F.lit(_TS_MOD_SPAN)),
+        )
+    )

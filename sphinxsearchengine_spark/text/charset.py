@@ -1,0 +1,48 @@
+"""Character-set contract of the index (sphinx.conf:15-16).
+
+``charset_table = 0..9, A..Z->a..z, a..z, U+410..U+42F->U+430..U+44F,
+U+430..U+44F`` — token characters are ASCII digits, Latin letters
+(case-folded) and the basic Cyrillic block (case-folded); everything else
+separates tokens.
+
+``blend_chars = _, -, &, +, @, $`` — these characters are *both* token
+characters and separators: ``foo_bar`` is indexed as the blended token
+``foo_bar`` plus the parts ``foo`` and ``bar`` at the same position.
+
+Note U+0401/U+0451 (Ё/ё) are deliberately NOT in the table — the reference
+config omits them, so they act as separators.  We replicate that exactly.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Case-fold map: A..Z -> a..z, U+0410..U+042F -> U+0430..U+044F.
+_FOLD = {c: c + 32 for c in range(ord("A"), ord("Z") + 1)}
+_FOLD.update({c: c + 32 for c in range(0x410, 0x42F + 1)})
+FOLD_TABLE = str.maketrans({chr(k): chr(v) for k, v in _FOLD.items()})
+
+# Token character class AFTER folding (lowercase only).
+TOKEN_CLASS = "0-9a-zа-я"
+BLEND_CLASS = re.escape("_-&+@$")
+
+# A primary token: a run of token chars and/or blend chars that contains at
+# least one real token char (pure blend runs like "--" are separators).
+PRIMARY_TOKEN_RE = re.compile(
+    f"[{TOKEN_CLASS}{BLEND_CLASS}]*[{TOKEN_CLASS}][{TOKEN_CLASS}{BLEND_CLASS}]*"
+)
+# Split a blended token into its parts.
+BLEND_SPLIT_RE = re.compile(f"[{BLEND_CLASS}]+")
+# Any blend char (to test whether a token is blended).
+HAS_BLEND_RE = re.compile(f"[{BLEND_CLASS}]")
+# Strip leading/trailing blend chars from the blended form (Sphinx trims
+# blended tokens of boundary blend chars: "-foo-" blends to "foo").
+EDGE_BLEND_RE = re.compile(f"^[{BLEND_CLASS}]+|[{BLEND_CLASS}]+$")
+
+LATIN_RE = re.compile(r"^[a-z]+$")
+CYRILLIC_RE = re.compile("^[а-я]+$")
+
+
+def fold(text: str) -> str:
+    """Case-fold per charset_table (Latin + basic Cyrillic)."""
+    return text.translate(FOLD_TABLE)

@@ -1,0 +1,145 @@
+"""Tokenizer contract tests (SURVEY.md §5.1): golden token streams for
+charset folding, Cyrillic, blend chars, min-len, exact+stem duals."""
+
+from __future__ import annotations
+
+from hypothesis import given, strategies as st
+
+from sphinxsearchengine_spark.text import (
+    index_terms,
+    mangle_category,
+    sanitize_query,
+    stem_token,
+    tokenize,
+)
+from sphinxsearchengine_spark.text.stem_en import stem_en
+from sphinxsearchengine_spark.text.stem_ru import stem_ru
+from sphinxsearchengine_spark.text.tokenizer import is_blank_query
+
+
+def flat(text):
+    return [(p, f) for p, forms in tokenize(text) for f in forms]
+
+
+class TestCharsetFold:
+    def test_ascii_fold_and_split(self):
+        assert flat("Hello, WORLD!") == [(1, "hello"), (2, "world")]
+
+    def test_digits_are_token_chars(self):
+        assert flat("utf8 v2") == [(1, "utf8"), (2, "v2")]
+
+    def test_cyrillic_fold(self):
+        # U+0410..U+042F folds to U+0430..U+044F (sphinx.conf:15)
+        assert flat("Привет МИР") == [(1, "привет"), (2, "мир")]
+
+    def test_yo_is_separator(self):
+        # ё/Ё absent from charset_table → separator
+        assert flat("ёлка") == [(1, "лка")]
+
+    def test_min_word_len(self):
+        # 1-char tokens dropped (sphinx.conf:18)
+        assert flat("a bc d ef") == [(2, "bc"), (4, "ef")]
+
+
+class TestBlendChars:
+    def test_underscore_blend(self):
+        # foo_bar → parts at consecutive positions + blended at first
+        assert flat("foo_bar baz") == [
+            (1, "foo"),
+            (1, "foo_bar"),
+            (2, "bar"),
+            (3, "baz"),
+        ]
+
+    def test_phrase_across_blend(self):
+        # parts get consecutive positions so "foo bar" phrase matches
+        positions = {f: p for p, f in flat("foo_bar")}
+        assert positions["bar"] == positions["foo"] + 1
+
+    def test_all_blend_chars(self):
+        for ch in "_-&+@$":
+            forms = [f for _, f in flat(f"aa{ch}bb")]
+            assert f"aa{ch}bb" in forms and "aa" in forms and "bb" in forms
+
+    def test_pure_blend_run_is_separator(self):
+        assert flat("aa -- bb") == [(1, "aa"), (2, "bb")]
+
+    def test_short_parts_blended_survives(self):
+        # parts 'a','b' are sub-min-len; blended a_b survives
+        assert flat("a_b") == [(1, "a_b")]
+
+    def test_dollar_var(self):
+        assert flat("$var") == [(1, "var"), (1, "$var")]
+
+
+class TestStemming:
+    def test_porter_basics(self):
+        assert stem_en("caresses") == "caress"
+        assert stem_en("ponies") == "poni"
+        assert stem_en("running") == "run"
+        assert stem_en("relational") == "relat"
+        assert stem_en("hopefulness") == "hope"
+        assert stem_en("generalization") == "gener"
+
+    def test_russian_basics(self):
+        assert stem_ru("книгами") == "книг"
+        assert stem_ru("красивые") == "красив"
+        assert stem_ru("делала") == "дела"
+
+    def test_mixed_not_stemmed(self):
+        assert stem_token("utf8") == "utf8"
+        assert stem_token("foo_bar") == "foo_bar"
+
+    def test_stem_dispatch(self):
+        assert stem_token("running") == "run"
+        assert stem_token("книгами") == "книг"
+
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=20))
+    def test_porter_total(self, w):
+        s = stem_en(w)
+        assert isinstance(s, str) and len(s) <= len(w)
+
+    @given(st.text(alphabet="абвгдежзиклмнопрстуфхцчшщыьэюя", min_size=1, max_size=20))
+    def test_russian_total(self, w):
+        s = stem_ru(w)
+        assert isinstance(s, str) and len(s) <= len(w)
+
+
+class TestExactDual:
+    def test_exact_and_stem_emitted(self):
+        terms = index_terms("running")
+        assert (1, "run") in terms and (1, "=running") in terms
+
+    def test_dedup_same_position(self):
+        terms = index_terms("run")
+        # stem('run')=='run' and '=run' → exactly these two
+        assert terms == [(1, "run"), (1, "=run")]
+
+
+class TestMangleAndSanitize:
+    def test_mangle_basic(self):
+        assert mangle_category("My Category") == "__my_category__"
+
+    def test_mangle_empty(self):
+        assert mangle_category("") == "_empty_"
+        assert mangle_category("  ") == "_empty_"
+
+    def test_mangle_specials(self):
+        assert mangle_category("C++ (lang)") == "__c_lang___"
+        assert mangle_category("a/b") == "__a_b__"
+
+    def test_sanitize_strips_specials(self):
+        assert sanitize_query("foo! (bar) [baz]") == "foo bar baz"
+
+    def test_sanitize_unbalanced_quotes(self):
+        assert '"' not in sanitize_query('foo "bar')
+        assert sanitize_query('"foo bar"') == '"foo bar"'
+
+    def test_sanitize_lone_dash(self):
+        assert sanitize_query("foo - bar") == "foo bar"
+        assert sanitize_query("foo-bar") == "foo-bar"
+
+    def test_blank_guard(self):
+        assert is_blank_query("!!! ())")
+        assert not is_blank_query("ok")
+        assert not is_blank_query("привет")
