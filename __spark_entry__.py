@@ -1,38 +1,588 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry` runs the flagship full-text pipeline; `queries()` exposes one
+entry per implemented operator (SURVEY.md §2 + training-data ops), each
+mirrored by `oracle_sql()` ANSI SQL for the DuckDB gate where the
+semantics are SQL-expressible.  Non-SQL-expressible ops (stemmed
+engine search, MinHash/SimHash, LSH ANN, lang-id) are rows-only.
+
+Column-name discipline: every computed column is aliased identically in
+the Spark code and the SQL.  Doubles are rounded identically on both
+sides before comparison.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _tokens_df(spark, sf_dir) -> DataFrame:
+    """(doc_id, term) exploded token stream of `documents`, plain mode
+    (lower + alnum split — the SQL-expressible tokenizer profile)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), TOKEN_SPLIT)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+# --------------------------------------------------------------------------
+# flagship: documents -> engine corpus -> index build -> BM25 search
+# --------------------------------------------------------------------------
+
+def _docs_as_corpus(spark, sf_dir):
+    """Adapt the driver `documents` table to the engine corpus shape
+    (BASELINE.json input_hint: repo, path, commit, lang, content)."""
+    return _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.sha2(F.col("text"), 256).substr(1, 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the inverted index over sf0.001 documents and run
+    a BM25+proximity+freshness top-k search through the full engine."""
+    from sphinxsearchengine_spark.config import EngineConfig
+    from sphinxsearchengine_spark.corpus import PINNED_NOW, derive_documents
+    from sphinxsearchengine_spark.index.builder import build_index
+    from sphinxsearchengine_spark.query.executor import search
 
+    sf_dir = "/root/testdata/sf0.001"
+    corpus = _docs_as_corpus(spark, sf_dir)
+    docs = derive_documents(corpus)
+    idx = os.path.join(tempfile.mkdtemp(prefix="sse_entry_"), "idx")
+    build_index(spark, docs, idx, EngineConfig(term_buckets=8), salt_factor=2)
+    return search(spark, idx, "spark join", limit=20, now_ts=PINNED_NOW)
+
+
+# --------------------------------------------------------------------------
+# queries(): operator inventory
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- §2.4 relational operators (A1-A8) -------------------------------
+    def rel_inner_join_agg(spark, sf):  # A1 + A4/A5 aggregates
+        o, c, n = _t(spark, sf, "orders"), _t(spark, sf, "customer"), _t(spark, sf, "nation")
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+        )
+    q["rel_inner_join_agg"] = rel_inner_join_agg
+
+    def rel_left_join_count(spark, sf):  # A2
+        c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+        return (
+            c.join(o, c.c_custkey == o.o_custkey, "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("n_orders"))
+        )
+    q["rel_left_join_count"] = rel_left_join_count
+
+    def rel_anti_join(spark, sf):  # A3 (purge-orphans analog, S5)
+        c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+        urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+        return c.join(
+            urgent, c.c_custkey == urgent.o_custkey, "left_anti"
+        ).select("c_custkey")
+    q["rel_anti_join"] = rel_anti_join
+
+    def rel_group_concat(spark, sf):  # A4 + A7 (GROUP_CONCAT DISTINCT)
+        c = _t(spark, sf, "customer")
+        return c.groupBy("c_nationkey").agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            )
+        )
+    q["rel_group_concat"] = rel_group_concat
+
+    def rel_minmax(spark, sf):  # A5 (revision-timestamp min/max analog)
+        o = _t(spark, sf, "orders")
+        return o.groupBy("o_custkey").agg(
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
+        )
+    q["rel_minmax"] = rel_minmax
+
+    def rel_semi_join(spark, sf):  # A6 (IN-list semi filter)
+        li, o = _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
+        urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+        return (
+            li.join(urgent, li.l_orderkey == urgent.o_orderkey, "left_semi")
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            )
+        )
+    q["rel_semi_join"] = rel_semi_join
+
+    def rel_distinct(spark, sf):  # A7
+        return _t(spark, sf, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+    q["rel_distinct"] = rel_distinct
+
+    def rel_topk_window(spark, sf):  # A8 (keyset-pagination analog: top-k per key)
+        from pyspark.sql import Window
+
+        o = _t(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        )
+        return (
+            o.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("o_custkey", "o_orderkey", "rk")
+        )
+    q["rel_topk_window"] = rel_topk_window
+
+    def rel_tpch_q1(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("sum_disc_price"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+    q["rel_tpch_q1"] = rel_tpch_q1
+
+    def rel_events_window(spark, sf):  # tumbling-window agg (streaming analog)
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("hour_start"),
+                "event_type",
+                "n",
+                "total_value",
+            )
+        )
+    q["rel_events_window"] = rel_events_window
+
+    # ---- full-text retrieval semantics on `documents` (Q1/Q2/Q4/Q6, Q12/Q13)
+    def ft_term_stats(spark, sf):  # Q12 per-keyword docs/hits
+        return (
+            _tokens_df(spark, sf)
+            .filter(F.col("term").isin("spark", "join", "merge"))
+            .groupBy("term")
+            .agg(
+                F.countDistinct("doc_id").alias("docs"),
+                F.count(F.lit(1)).alias("hits"),
+            )
+        )
+    q["ft_term_stats"] = ft_term_stats
+
+    def ft_match_and(spark, sf):  # Q1 keyword AND
+        tok = _tokens_df(spark, sf).filter(F.col("term").isin("spark", "join"))
+        return (
+            tok.groupBy("doc_id")
+            .agg(F.countDistinct("term").alias("nt"))
+            .filter(F.col("nt") == 2)
+            .select("doc_id")
+        )
+    q["ft_match_and"] = ft_match_and
+
+    def ft_match_or(spark, sf):  # Q2 OR alternation
+        tok = _tokens_df(spark, sf).filter(F.col("term").isin("spark", "vector"))
+        return tok.select("doc_id").distinct()
+    q["ft_match_or"] = ft_match_or
+
+    def ft_phrase(spark, sf):  # Q4 adjacency phrase "spark join"
+        d = _t(spark, sf, "documents")
+        pat = "(^|[^a-z0-9])spark[^a-z0-9]+join([^a-z0-9]|$)"
+        return d.filter(F.lower("text").rlike(pat)).select("doc_id")
+    q["ft_phrase"] = ft_phrase
+
+    def ft_bm25_topk(spark, sf):  # Q7's BM25 factor, SQL-checkable profile
+        tok = _tokens_df(spark, sf)
+        n_docs = _t(spark, sf, "documents").count()
+        terms = ["spark", "join"]
+        tf = (
+            tok.filter(F.col("term").isin(terms))
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        nk = len(terms)
+        scored = (
+            tf.join(F.broadcast(dfreq), "term")
+            .withColumn(
+                "idf",
+                F.log((F.lit(float(n_docs)) - F.col("df") + 1) / F.col("df"))
+                / (2.0 * F.log(F.lit(float(n_docs) + 1)))
+                / nk,
+            )
+            .withColumn("contrib", F.col("idf") * F.col("tf") / (F.col("tf") + 1.2))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("contrib").alias("raw"),
+                F.countDistinct("term").alias("nt"),
+            )
+            .filter(F.col("nt") == nk)
+            .select(
+                "doc_id", F.round((F.col("raw") + 0.5) * 999, 6).alias("bm25")
+            )
+        )
+        return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(20)
+    q["ft_bm25_topk"] = ft_bm25_topk
+
+    def ft_facet_lang(spark, sf):  # Q13 facet over matches
+        d = _t(spark, sf, "documents")
+        tok = _tokens_df(spark, sf).filter(F.col("term") == "spark").distinct()
+        return (
+            d.join(tok, "doc_id", "left_semi")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+    q["ft_facet_lang"] = ft_facet_lang
+
+    def ft_attr_filter(spark, sf):  # Q6 attribute filter + match
+        d = _t(spark, sf, "documents").filter(F.col("lang").isin("en", "de"))
+        tok = (
+            d.select("doc_id", F.explode(F.split(F.lower("text"), TOKEN_SPLIT)).alias("term"))
+            .filter(F.col("term") == "merge")
+        )
+        return tok.select("doc_id").distinct()
+    q["ft_attr_filter"] = ft_attr_filter
+
+    # ---- training-data pipeline ops --------------------------------------
+    def dedup_exact(spark, sf):
+        from sphinxsearchengine_spark.ops.dedup import exact_duplicates
+
+        d = _t(spark, sf, "documents")
+        doubled = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+        return exact_duplicates(doubled, "doc_id", "text").select(
+            "keeper_id", "copies"
+        )
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_ngram_jaccard(spark, sf):
+        from sphinxsearchengine_spark.ops.dedup import ngram_jaccard_pairs
+
+        d = _t(spark, sf, "documents")
+        return ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+    q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+
+    def dedup_minhash_lsh(spark, sf):  # rows-only (hash-based, not ANSI-SQL)
+        from sphinxsearchengine_spark.ops.dedup import minhash_lsh_pairs
+
+        d = _t(spark, sf, "documents")
+        return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
+    q["dedup_minhash_lsh"] = dedup_minhash_lsh
+
+    def dedup_simhash(spark, sf):  # rows-only
+        from sphinxsearchengine_spark.ops.dedup import simhash_pairs
+
+        d = _t(spark, sf, "documents")
+        return simhash_pairs(d, "doc_id", "text", max_hamming=3)
+    q["dedup_simhash"] = dedup_simhash
+
+    def text_token_count(spark, sf):
+        from sphinxsearchengine_spark.ops.textstats import token_count
+
+        return token_count(_t(spark, sf, "documents"), "doc_id", "text")
+    q["text_token_count"] = text_token_count
+
+    def text_quality(spark, sf):
+        from sphinxsearchengine_spark.ops.textstats import quality_score
+
+        return quality_score(_t(spark, sf, "documents"), "doc_id", "text")
+    q["text_quality"] = text_quality
+
+    def text_langid(spark, sf):  # rows-only (heuristic voting)
+        from sphinxsearchengine_spark.ops.textstats import lang_id
+
+        return lang_id(_t(spark, sf, "documents"), "doc_id", "text")
+    q["text_langid"] = text_langid
+
+    def text_fingerprint(spark, sf):  # rows-only (xxhash64 not in DuckDB)
+        from sphinxsearchengine_spark.ops.textstats import fingerprint
+
+        return fingerprint(_t(spark, sf, "documents"), "doc_id", "text")
+    q["text_fingerprint"] = text_fingerprint
+
+    def ann_cosine_topk(spark, sf):
+        from sphinxsearchengine_spark.ops.similarity import cosine_topk
+
+        emb = _t(spark, sf, "embeddings")
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+        return cosine_topk(emb, "vec_id", "embedding", qvec, k=10, exclude_id=0)
+    q["ann_cosine_topk"] = ann_cosine_topk
+
+    def ann_lsh_topk(spark, sf):  # rows-only (approximate path)
+        from sphinxsearchengine_spark.ops.similarity import lsh_topk
+
+        emb = _t(spark, sf, "embeddings")
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+        return lsh_topk(emb, "vec_id", "embedding", qvec, k=10, n_planes=8,
+                        probe_hamming=2, exclude_id=0)
+    q["ann_lsh_topk"] = ann_lsh_topk
+
+    def engine_search(spark, sf):  # rows-only: the full stemmed engine
+        from sphinxsearchengine_spark.config import EngineConfig
+        from sphinxsearchengine_spark.corpus import PINNED_NOW, derive_documents
+        from sphinxsearchengine_spark.index.builder import build_index
+        from sphinxsearchengine_spark.query.executor import search
+
+        docs = derive_documents(_docs_as_corpus(spark, sf))
+        idx = os.path.join(tempfile.mkdtemp(prefix="sse_gate_"), "idx")
+        build_index(spark, docs, idx, EngineConfig(term_buckets=8), salt_factor=2)
+        res = search(spark, idx, "spark join", limit=20, now_ts=PINNED_NOW)
+        return res.select("rank", "docid", F.round("score", 6).alias("score"), "path")
+    q["engine_search"] = engine_search
+
+    return q
+
+
+# --------------------------------------------------------------------------
+# oracle_sql(): DuckDB equivalents (same aliases, same rounding)
+# --------------------------------------------------------------------------
+
+_TOK_CTE = """
+tok AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+
+    sql["rel_inner_join_agg"] = """
+        SELECT n_name,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
     """
-    return {}
+    sql["rel_left_join_count"] = """
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """
+    sql["rel_anti_join"] = """
+        SELECT c_custkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+    """
+    sql["rel_group_concat"] = """
+        SELECT c_nationkey,
+               string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+        FROM customer GROUP BY c_nationkey
+    """
+    sql["rel_minmax"] = """
+        SELECT o_custkey,
+               strftime(min(o_orderdate), '%Y-%m-%d') AS first_order,
+               strftime(max(o_orderdate), '%Y-%m-%d') AS last_order
+        FROM orders GROUP BY o_custkey
+    """
+    sql["rel_semi_join"] = """
+        SELECT l_returnflag, count(*) AS n_lines,
+               round(sum(l_extendedprice), 2) AS total_price
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag
+    """
+    sql["rel_distinct"] = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+    sql["rel_topk_window"] = """
+        SELECT o_custkey, o_orderkey, rk FROM (
+          SELECT o_custkey, o_orderkey,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+          FROM orders) WHERE rk <= 3
+    """
+    sql["rel_tpch_q1"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """
+    sql["rel_events_window"] = """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+               event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """
+
+    sql["ft_term_stats"] = f"""
+        WITH {_TOK_CTE}
+        SELECT term, count(DISTINCT doc_id) AS docs, count(*) AS hits
+        FROM tok WHERE term IN ('spark', 'join', 'merge') GROUP BY term
+    """
+    sql["ft_match_and"] = f"""
+        WITH {_TOK_CTE}
+        SELECT doc_id FROM tok WHERE term IN ('spark', 'join')
+        GROUP BY doc_id HAVING count(DISTINCT term) = 2
+    """
+    sql["ft_match_or"] = f"""
+        WITH {_TOK_CTE}
+        SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'vector')
+    """
+    sql["ft_phrase"] = """
+        SELECT doc_id FROM documents
+        WHERE regexp_matches(lower(text),
+              '(^|[^a-z0-9])spark[^a-z0-9]+join([^a-z0-9]|$)')
+    """
+    sql["ft_bm25_topk"] = f"""
+        WITH {_TOK_CTE},
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM tok
+          WHERE term IN ('spark', 'join') GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id,
+                 sum( ln((n.n - dfreq.df + 1) / dfreq.df) / (2 * ln(n.n + 1)) / 2
+                      * tf.tf / (tf.tf + 1.2) ) AS raw,
+                 count(DISTINCT tf.term) AS nt
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round((raw + 0.5) * 999, 6) AS bm25
+        FROM scored WHERE nt = 2
+        ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """
+    sql["ft_facet_lang"] = f"""
+        WITH {_TOK_CTE}
+        SELECT lang, count(*) AS n_docs FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM tok WHERE term = 'spark')
+        GROUP BY lang
+    """
+    sql["ft_attr_filter"] = f"""
+        WITH {_TOK_CTE}
+        SELECT DISTINCT tok.doc_id FROM tok
+        JOIN documents USING (doc_id)
+        WHERE lang IN ('en', 'de') AND term = 'merge'
+    """
+
+    sql["dedup_exact"] = """
+        WITH doubled AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        )
+        SELECT min(doc_id) AS keeper_id, count(*) AS copies
+        FROM doubled GROUP BY md5(text)
+    """
+    sql["dedup_ngram_jaccard"] = """
+        WITH raw AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term,
+                 generate_subscripts(string_split_regex(lower(text), '[^a-z0-9]+'), 1) AS pos
+          FROM documents
+        ),
+        tokpos AS (SELECT doc_id, term, pos FROM raw WHERE term <> ''),
+        sh AS (
+          SELECT DISTINCT a.doc_id,
+                 a.term || ' ' || b.term || ' ' || c.term AS shingle
+          FROM tokpos a
+          JOIN tokpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          JOIN tokpos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS c
+          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    """
+    sql["text_token_count"] = """
+        SELECT doc_id AS id,
+               len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '')) AS n_tokens
+        FROM documents
+    """
+    sql["text_quality"] = """
+        WITH base AS (
+          SELECT doc_id AS id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        m AS (
+          SELECT id, len(toks) AS n_tokens,
+                 CASE WHEN len(toks) > 0
+                      THEN list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)
+                      ELSE 0.0 END AS mean_len,
+                 CASE WHEN len(toks) > 0
+                      THEN len(list_filter(toks, x -> x IN
+                        ('the','a','an','and','or','of','to','in','is','it','for',
+                         'on','with','as','by','at','this','that','be','are')))::DOUBLE
+                           / len(toks)
+                      ELSE 0.0 END AS stop_ratio
+          FROM base
+        )
+        SELECT id, n_tokens,
+               round(mean_len, 4) AS mean_token_len,
+               round(stop_ratio, 4) AS stopword_ratio,
+               CASE WHEN n_tokens >= 10 AND mean_len >= 2.5 AND stop_ratio <= 0.6
+                    THEN 1.0 ELSE 0.0 END AS quality
+        FROM m
+    """
+    sql["ann_cosine_topk"] = """
+        WITH q AS (
+          SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+        )
+        SELECT vec_id AS id,
+               round(
+                 list_dot_product(embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+        FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY list_dot_product(embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id ASC
+        LIMIT 10
+    """
+    return sql
