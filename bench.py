@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Headline benchmark — prints ONE JSON line.
+
+Components:
+1. inverted-index bulk build over the synthetic source-code corpus
+   (10× the sf's documents row count) — reports docs indexed/sec
+2. engine search latencies on that index (the reference query shapes:
+   AND, phrase, hot term, prefix, field-limit)
+3. representative driver-table operators at $SPARK_GRAFT_SF_DIR
+   (TPC-H-ish aggregate/join, SQL-profile BM25 top-k, n-gram
+   near-dup join, brute-force ANN, quality scoring)
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+scripts/bench_scaling.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+ENGINE_QUERIES = {
+    "search_and": "index search",
+    "search_phrase": '"alpha beta"',
+    "search_hotterm": "hotterm",
+    "search_prefix": "pars*",
+    "search_field": "@title file_2*",
+}
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as gate
+    from sphinxsearchengine_spark.config import EngineConfig
+    from sphinxsearchengine_spark.corpus import (
+        PINNED_NOW,
+        derive_documents,
+        generate_corpus,
+    )
+    from sphinxsearchengine_spark.index.builder import build_index
+    from sphinxsearchengine_spark.query.executor import search
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("sse-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SSE_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    t_suite = time.time()
+
+    # --- 1. index build ----------------------------------------------------
+    n_base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
+    n_docs = n_base * 10
+    idx = os.path.join(tempfile.mkdtemp(prefix="sse_bench_"), "idx")
+    docs = derive_documents(generate_corpus(spark, n_docs, partitions=CPUS))
+    t0 = time.time()
+    build_index(spark, docs, idx, EngineConfig(term_buckets=CPUS), salt_factor=4)
+    dt = time.time() - t0
+    queries["index_build"] = round(dt, 3)
+    extra["index_docs_per_sec"] = round(n_docs / dt, 1)
+    extra["index_n_docs"] = n_docs
+
+    # --- 2. engine query latencies ------------------------------------------
+    for name, q in ENGINE_QUERIES.items():
+        t0 = time.time()
+        search(spark, idx, q, limit=20, now_ts=PINNED_NOW).collect()
+        queries[name] = round(time.time() - t0, 3)
+
+    # --- 3. driver-table operators -------------------------------------------
+    gate_queries = gate.queries()
+    for name in [
+        "rel_tpch_q1",
+        "rel_inner_join_agg",
+        "rel_topk_window",
+        "rel_events_window",
+        "ft_bm25_topk",
+        "ft_match_and",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "ann_cosine_topk",
+        "text_quality",
+    ]:
+        t0 = time.time()
+        gate_queries[name](spark, SF_DIR).collect()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_suite, 3)
+    shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = 0.1
+    out = {
+        "metric": "headline suite wall seconds (index build + search + ops)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        **extra,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -73,3 +73,39 @@ def delta_encode(sorted_values: np.ndarray) -> bytes:
 def delta_decode(buf: bytes) -> np.ndarray:
     deltas = vb_decode(buf)
     return np.cumsum(deltas, dtype=np.uint64)
+
+
+# --- small-list fast paths -------------------------------------------------
+# Position lists are typically a handful of ints; per-call numpy setup
+# (~10µs) dominates there, so the index builder and scorer use these pure
+# Python variants (identical byte layout — property-tested against the
+# numpy codec).  The numpy paths remain for bulk/block work.
+
+def delta_encode_small(values) -> bytes:
+    out = bytearray()
+    prev = 0
+    for v in values:
+        d = v - prev
+        prev = v
+        while d >= 0x80:
+            out.append((d & 0x7F) | 0x80)
+            d >>= 7
+        out.append(d)
+    return bytes(out)
+
+
+def delta_decode_small(buf: bytes) -> list[int]:
+    out = []
+    acc = 0
+    cur = 0
+    shift = 0
+    for b in buf:
+        cur |= (b & 0x7F) << shift
+        if b & 0x80:
+            shift += 7
+        else:
+            acc += cur
+            out.append(acc)
+            cur = 0
+            shift = 0
+    return out

@@ -43,6 +43,11 @@ MIN_WORD_LEN: int = 2
 BLEND_CHARS: str = "_-&+@$"
 EXACT_PREFIX: str = "="  # index_exact_words=1: raw form indexed as '=word'
 
+# Sphinx's expand_keywords/dict=keywords pairs with an expansion_limit
+# (public searchd option) so a short prefix cannot explode into 10^4
+# keywords; the most-frequent terms win.  Deterministic tiebreak: term asc.
+EXPANSION_LIMIT: int = 64
+
 # --- operational limits --------------------------------------------------
 FIELD_SIZE_CAP: int = 2 * 1024 * 1024  # bytes of text per field
 MATCH_CAP: int = 1000

@@ -77,9 +77,7 @@ def _tokenize_batch(pdf_iter):
                     out_field.append(fid)
                     out_docid.append(row.docid)
                     out_tf.append(len(positions))
-                    out_pos.append(
-                        codec.delta_encode(np.array(positions, dtype=np.uint64))
-                    )
+                    out_pos.append(codec.delta_encode_small(positions))
                     out_lang.append(row.lang)
                     out_di.append(row.date_insert)
                     out_dm.append(row.date_modify)

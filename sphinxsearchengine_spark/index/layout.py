@@ -47,6 +47,7 @@ class IndexMeta:
     segments: list = field(default_factory=list)  # ordered [{name, seq, n_docs}]
     field_weights: dict = field(default_factory=lambda: dict(FIELD_WEIGHTS))
     next_seq: int = 0
+    n_tombstones: int = 0  # query fast path skips anti-join when 0
 
     def save(self, index_dir: str) -> None:
         with open(os.path.join(index_dir, "meta.json"), "w") as f:

@@ -1,0 +1,141 @@
+"""Index lifecycle: upsert / delete / purge / compaction (SURVEY.md S3-S6).
+
+The reference mutates a Sphinx RT index in place:
+- single-doc upsert via ``REPLACE INTO``   (SphinxSearchEngine_class.php:362-384)
+- delete by id                              (:387-394)
+- purge of orphaned ids                     (:456-482)
+- ``OPTIMIZE INDEX``                        (rebuild-sphinx.php:17)
+
+Spark-first redesign over immutable parquet segments:
+- upsert  = append a *delta segment* (same build pipeline as bulk) plus
+  tombstones (docid, asof_seq=new_seq) that kill the docid in all older
+  segments; the new copy is visible immediately to the next query.
+- delete  = tombstones with asof_seq = next_seq (covers every segment).
+- purge   = one anti-join of live index docids vs the source-of-truth
+  docids → delete set (replaces the reference's client-side keyset
+  pagination loop — Spark makes the full scan cheap and single-pass).
+- compact = rebuild one base segment from the live view and drop
+  deltas+tombstones; the visible match set is preserved exactly, and
+  scores become exact again (stale inter-segment df resolved).
+
+Between compactions, dictionary df/hits are upper bounds (dead copies
+still counted) — the same idf staleness Sphinx RT segments exhibit;
+compaction restores exact statistics.  Tombstones stay broadcast-small
+because compaction clears them.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sphinxsearchengine_spark.config import EngineConfig
+from sphinxsearchengine_spark.index.builder import build_index, build_segment
+from sphinxsearchengine_spark.index.layout import IndexLayout, IndexMeta
+
+
+def _add_tombstones(spark: SparkSession, layout: IndexLayout, docids_df: DataFrame,
+                    asof_seq: int) -> None:
+    (
+        docids_df.select(
+            F.col("docid"), F.lit(asof_seq).cast("int").alias("asof_seq")
+        )
+        .write.mode("append")
+        .parquet(layout.tombstones())
+    )
+
+
+def upsert(
+    spark: SparkSession,
+    index_dir: str,
+    documents: DataFrame,
+    cfg: EngineConfig | None = None,
+) -> IndexMeta:
+    """S3: batch upsert (REPLACE INTO semantics) as a delta segment."""
+    from sphinxsearchengine_spark.query.executor import live_docs
+
+    cfg = cfg or EngineConfig(term_buckets=IndexMeta.load(index_dir).term_buckets)
+    layout = IndexLayout(index_dir)
+    meta = layout.meta
+    seq = meta.next_seq
+    seg = f"seg_{seq:05d}"
+
+    n_replaced = (
+        live_docs(spark, index_dir)
+        .select("docid")
+        .join(documents.select("docid").distinct(), "docid", "left_semi")
+        .count()
+    )
+    stages = build_segment(spark, documents, index_dir, seg, cfg)
+    _add_tombstones(spark, layout, documents.select("docid").distinct(), seq)
+    meta.segments.append({"name": seg, "seq": seq, "n_docs": stages["docs"]["n_docs"]})
+    meta.next_seq = seq + 1
+    meta.n_docs = meta.n_docs + stages["docs"]["n_docs"] - n_replaced
+    meta.n_tombstones += stages["docs"]["n_docs"]
+    meta.save(index_dir)
+    return meta
+
+
+def delete(spark: SparkSession, index_dir: str, docids: list[int] | DataFrame) -> IndexMeta:
+    """S4: delete by id — tombstones covering every current segment."""
+    from sphinxsearchengine_spark.query.executor import live_docs
+
+    layout = IndexLayout(index_dir)
+    meta = layout.meta
+    if not isinstance(docids, DataFrame):
+        docids = spark.createDataFrame([(int(d),) for d in docids], "docid long")
+    docids = docids.select("docid").distinct()
+    n_dead = (
+        live_docs(spark, index_dir).select("docid").join(docids, "docid", "left_semi").count()
+    )
+    _add_tombstones(spark, layout, docids, meta.next_seq)
+    meta.next_seq += 1
+    meta.n_docs -= n_dead
+    meta.n_tombstones += docids.count()
+    meta.save(index_dir)
+    return meta
+
+
+def purge_orphans(
+    spark: SparkSession, index_dir: str, source_docids: DataFrame
+) -> tuple[IndexMeta, int]:
+    """S5: drop index docs whose docid no longer exists in the source of
+    truth.  One left-anti join replaces the reference's 100k-page keyset
+    loop (SphinxSearchEngine_class.php:456-482)."""
+    from sphinxsearchengine_spark.query.executor import live_docs
+
+    orphans = (
+        live_docs(spark, index_dir)
+        .select("docid")
+        .join(source_docids.select("docid").distinct(), "docid", "left_anti")
+    )
+    n = orphans.count()
+    if n == 0:
+        return IndexLayout(index_dir).meta, 0
+    meta = delete(spark, index_dir, orphans)
+    return meta, n
+
+
+def compact(
+    spark: SparkSession, index_dir: str, cfg: EngineConfig | None = None
+) -> IndexMeta:
+    """S6: OPTIMIZE INDEX analog — merge all segments + tombstones into a
+    fresh base segment with exact statistics."""
+    from sphinxsearchengine_spark.query.executor import live_docs
+
+    layout = IndexLayout(index_dir)
+    old_meta = layout.meta
+    cfg = cfg or EngineConfig(term_buckets=old_meta.term_buckets)
+    live = live_docs(spark, index_dir)
+    tmp_dir = index_dir + ".compact"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    meta = build_index(spark, live, tmp_dir, cfg)
+    # atomic-ish swap (single-writer maintenance op, like the reference's
+    # rebuild-sphinx.php CLI)
+    bak = index_dir + ".old"
+    shutil.rmtree(bak, ignore_errors=True)
+    shutil.move(index_dir, bak)
+    shutil.move(tmp_dir, index_dir)
+    shutil.rmtree(bak, ignore_errors=True)
+    return meta

@@ -72,6 +72,20 @@ class OracleEngine:
                 )
 
         all_terms = list(self.postings.keys())
+
+        def prefix_expand(w: str, exclude: set[str]) -> list[str]:
+            # mirror executor: EXPANSION_LIMIT most-frequent, term-asc ties
+            from sphinxsearchengine_spark.config import EXPANSION_LIMIT
+
+            cand = [
+                t for t in all_terms
+                if t.startswith(w)
+                and not t.startswith(EXACT_PREFIX)
+                and t not in exclude
+            ]
+            cand.sort(key=lambda t: (-len(self.postings[t]), t))
+            return cand[:EXPANSION_LIMIT]
+
         for gid, g in enumerate(query.groups):
             for a in g.alts:
                 if a.kind == "kw":
@@ -79,20 +93,13 @@ class OracleEngine:
                     seen = {stem_token(w), EXACT_PREFIX + w}
                     add(stem_token(w), gid, 0, -1, g.field)
                     add(EXACT_PREFIX + w, gid, 0, -1, g.field)
-                    for t in all_terms:
-                        if (
-                            t.startswith(w)
-                            and not t.startswith(EXACT_PREFIX)
-                            and t not in seen
-                        ):
-                            add(t, gid, 0, -1, g.field)
+                    for t in prefix_expand(w, seen):
+                        add(t, gid, 0, -1, g.field)
                 elif a.kind == "exact":
                     add(EXACT_PREFIX + a.words[0], gid, 0, -1, g.field)
                 elif a.kind == "prefix":
-                    w = a.words[0]
-                    for t in all_terms:
-                        if t.startswith(w) and not t.startswith(EXACT_PREFIX):
-                            add(t, gid, 0, -1, g.field)
+                    for t in prefix_expand(a.words[0], set()):
+                        add(t, gid, 0, -1, g.field)
                 else:
                     for i, w in enumerate(a.words):
                         add(stem_token(w), gid, 1, i, g.field)

@@ -4,16 +4,19 @@ Pipeline per query:
 
 1. parse + sanitize (T8/T9) → AND-of-OR groups        [driver]
 2. dictionary lookup, partition-pruned by term bucket; prefix atoms use a
-   ``term >= p AND term < p+MAX`` range (pushed to parquet min/max)
-   → concrete term list + df/hits stats               [tiny Spark job]
+   ``term >= p AND term < p+MAX`` range (pushed to parquet min/max);
+   prefix expansion capped at EXPANSION_LIMIT most-frequent terms
+   (Sphinx expansion_limit semantics) → concrete terms + df stats +
+   bucket ids (no extra job: the dictionary rows carry their bucket)
 3. idf per term computed on the driver (constant folding — the analog of
    the reference's client-side maxScore precompute, Q14)
 4. postings scan: bucket-pruned, term-pruned, attribute filter (Q6)
-   pushed into the parquet scan; tombstone anti-join
-5. ONE shuffle: repartition by docid → mapInPandas scorer:
-   vectorized BM25 + AND-matching first, positions decoded ONLY for
-   docs that survive the AND filter (phrase adjacency Q4, LCS proximity
-   Q7) — the expensive positional work runs on the small survivor set
+   pushed into the parquet scan; tombstone anti-join only when
+   tombstones exist (meta fast path)
+5. ONE shuffle: repartition by docid → mapInPandas scorer — fully
+   numpy-vectorized: batch varbyte decode of ALL position lists in one
+   pass, phrase adjacency via sorted-code intersections, LCS chain DP
+   as n_groups vectorized rounds; no per-document Python loop
 6. ORDER BY (Q9) + LIMIT/OFFSET (Q10) → TakeOrderedAndProject
 7. hydration broadcast join back to the docs table (S8), rank preserved
    (Q15)
@@ -25,6 +28,7 @@ declarative Spark plan plus one Arrow-vectorized scoring stage.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -33,6 +37,7 @@ from sphinxsearchengine_spark import codec
 from sphinxsearchengine_spark.config import (
     BM25_K1,
     EXACT_PREFIX,
+    EXPANSION_LIMIT,
     FIELD_NAMES,
     FIELD_WEIGHTS,
     MATCH_CAP,
@@ -43,6 +48,7 @@ from sphinxsearchengine_spark.query.parser import Query, parse_query
 from sphinxsearchengine_spark.text.tokenizer import stem_token
 
 _MAX_CHAR = "￿"
+_POS_BITS = 21  # 2 MB field cap → < 2^21 token positions
 
 SCORED_SCHEMA = (
     "docid long, weight_raw double, score double, bm25 double, prox double, "
@@ -73,18 +79,26 @@ def _live_union(spark: SparkSession, layout: IndexLayout, sub: str) -> DataFrame
 
 def _apply_tombstones(spark, layout: IndexLayout, df: DataFrame) -> DataFrame:
     ts = spark.read.parquet(layout.tombstones())
-    if ts.isEmpty():
-        return df
     cond = (df.docid == ts.docid) & (df.seq < ts.asof_seq)
     return df.join(F.broadcast(ts), cond, "left_anti")
 
 
 def live_docs(spark: SparkSession, index_dir: str) -> DataFrame:
-    """Current visible document set (newest segment wins, tombstones out)."""
+    """Current visible document set (newest segment wins, tombstones out).
+
+    Fast path: a freshly-built/compacted index (one segment, no
+    tombstones) is a plain parquet scan — no window, no anti-join.
+    """
+    layout = IndexLayout(index_dir)
+    meta = layout.meta
+    if len(meta.segments) == 1 and meta.n_tombstones == 0:
+        return spark.read.parquet(layout.docs(meta.segments[0]["name"]))
+
     from pyspark.sql import Window
 
-    layout = IndexLayout(index_dir)
-    docs = _apply_tombstones(spark, layout, _live_union(spark, layout, "docs"))
+    docs = _live_union(spark, layout, "docs")
+    if meta.n_tombstones:
+        docs = _apply_tombstones(spark, layout, docs)
     w = Window.partitionBy("docid").orderBy(F.col("seq").desc())
     return (
         docs.withColumn("_rn", F.row_number().over(w))
@@ -93,12 +107,12 @@ def live_docs(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
-def _expand_groups(spark, layout, query: Query, nb: int):
+def _expand_groups(spark, layout, query: Query):
     """Steps 2-3: dict lookup → per-(term, gid) mapping + idf constants.
 
-    Returns (mapping_rows, stats) where mapping_rows =
-    [(term, gid, idf, is_phrase_member, member_idx, field_restrict)],
-    stats = {term: (df, hits)}.
+    Returns (mapping_rows, stats, buckets):
+    mapping_rows = [(term, gid, idf, is_phrase_member, member_idx, fld)],
+    stats = {term: (df, hits, max_tf)}, buckets = postings partitions to scan.
     """
     exact_terms: set[str] = set()
     prefixes: set[str] = set()
@@ -123,14 +137,19 @@ def _expand_groups(spark, layout, query: Query, nb: int):
     dic_pdf = (
         dic.filter(cond)
         .groupBy("term")
-        .agg(F.sum("df").alias("df"), F.sum("hits").alias("hits"),
-             F.max("max_tf").alias("max_tf"))
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("hits").alias("hits"),
+            F.max("max_tf").alias("max_tf"),
+            F.first("bucket").alias("bucket"),
+        )
         .toPandas()
     )
     stats = {
         r.term: (int(r.df), int(r.hits), int(r.max_tf))
         for r in dic_pdf.itertuples(index=False)
     }
+    bucket_of = {r.term: int(r.bucket) for r in dic_pdf.itertuples(index=False)}
 
     n_docs = layout.meta.n_docs
     nk = len(query.groups)
@@ -142,6 +161,16 @@ def _expand_groups(spark, layout, query: Query, nb: int):
                 (term, gid, ranker.idf(stats[term][0], n_docs, nk), is_pm, midx, fld)
             )
 
+    def prefix_expand(w: str, exclude: set[str]) -> list[str]:
+        """Top-EXPANSION_LIMIT most-frequent dict terms with prefix w
+        (deterministic: df desc, term asc) — Sphinx expansion_limit."""
+        cand = [
+            t for t in stats
+            if t.startswith(w) and not t.startswith(EXACT_PREFIX) and t not in exclude
+        ]
+        cand.sort(key=lambda t: (-stats[t][0], t))
+        return cand[:EXPANSION_LIMIT]
+
     for gid, g in enumerate(query.groups):
         for a in g.alts:
             if a.kind == "kw":
@@ -149,35 +178,61 @@ def _expand_groups(spark, layout, query: Query, nb: int):
                 seen = {stem_token(w), EXACT_PREFIX + w}
                 add(stem_token(w), gid, 0, -1, g.field)
                 add(EXACT_PREFIX + w, gid, 0, -1, g.field)
-                for t in stats:
-                    if t.startswith(w) and not t.startswith(EXACT_PREFIX) and t not in seen:
-                        add(t, gid, 0, -1, g.field)
+                for t in prefix_expand(w, seen):
+                    add(t, gid, 0, -1, g.field)
             elif a.kind == "exact":
                 add(EXACT_PREFIX + a.words[0], gid, 0, -1, g.field)
             elif a.kind == "prefix":
-                w = a.words[0]
-                for t in stats:
-                    if t.startswith(w) and not t.startswith(EXACT_PREFIX):
-                        add(t, gid, 0, -1, g.field)
+                for t in prefix_expand(a.words[0], set()):
+                    add(t, gid, 0, -1, g.field)
             else:
                 for i, w in enumerate(a.words):
                     add(stem_token(w), gid, 1, i, g.field)
-    return mapping, stats
+    buckets = sorted({bucket_of[m[0]] for m in mapping})
+    return mapping, stats, buckets
+
+
+def _decode_all(pr: pd.DataFrame):
+    """Vectorized varbyte decode of every pos_vb in the frame.
+
+    Returns (row_of_val, positions): for each decoded position, the
+    source row index and the absolute (1-based) token position.
+    """
+    bufs = list(pr["pos_vb"])
+    byte_lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+    big = b"".join(bufs)
+    deltas = codec.vb_decode(big).astype(np.int64)
+    b_arr = np.frombuffer(big, dtype=np.uint8)
+    is_last = (b_arr & 0x80) == 0
+    row_of_byte = np.repeat(np.arange(len(bufs)), byte_lens)
+    row_of_val = row_of_byte[is_last]
+    total = np.cumsum(deltas)
+    val_counts = np.bincount(row_of_val, minlength=len(bufs))
+    row_starts = np.concatenate(([0], np.cumsum(val_counts)[:-1]))
+    base = np.where(row_starts > 0, total[row_starts - 1], 0)
+    positions = total - np.repeat(base, val_counts)
+    return row_of_val, positions
 
 
 def _make_scorer(n_groups: int, phrase_groups: dict[int, int], now_ts: int,
                  weights_by_fid: list[int]):
-    """Build the partition scorer: vectorized BM25/AND first, positional
-    work (phrase validation + LCS) only on AND survivors."""
+    """Partition scorer, fully numpy-vectorized (no per-doc Python loop):
+    BM25 + AND first; positions decoded in ONE batch pass only for AND
+    survivors; phrase adjacency and LCS chain DP as per-group vector
+    rounds over (docid,field,pos) codes."""
     k1 = BM25_K1
+    w_fid = np.asarray(weights_by_fid, dtype=np.float64)
+    mls = float(ranker.max_lcs(n_groups))
+    from sphinxsearchengine_spark.config import PROXIMITY_SCALE
 
     def score_partition(pdf_iter):
         chunks = list(pdf_iter)
         if not chunks:
             return
-        pdf = pd.concat(chunks, ignore_index=True)  # partition == candidate
+        pdf = pd.concat(chunks, ignore_index=True)
         if pdf.empty:
             return
+
         # --- BM25 (doc-level tf across fields, per (docid,gid,term)) ----
         per_term = (
             pdf.groupby(["docid", "gid", "term"], sort=False)
@@ -187,108 +242,111 @@ def _make_scorer(n_groups: int, phrase_groups: dict[int, int], now_ts: int,
         per_term["contrib"] = per_term["idf"] * per_term["tfd"] / (per_term["tfd"] + k1)
         bm25_raw = per_term.groupby("docid", sort=False)["contrib"].sum()
 
-        # --- AND matching (tf-level; phrases validated positionally) ----
-        nonphrase = pdf[pdf["is_pm"] == 0]
-        matched = (
-            nonphrase.groupby("docid", sort=False)["gid"].agg(set)
-            if not nonphrase.empty
-            else pd.Series(dtype=object)
-        )
-        cand: dict[int, set] = matched.to_dict()
-        # docs where all non-phrase groups matched (phrase groups are
-        # validated positionally below, on this reduced survivor set)
-        need_nonphrase = set(range(n_groups)) - set(phrase_groups)
-        if need_nonphrase:
-            survivors = [d for d, gids in cand.items() if need_nonphrase <= gids]
+        # --- AND matching over non-phrase groups -------------------------
+        need_np = [g for g in range(n_groups) if g not in phrase_groups]
+        if need_np:
+            dg = pdf.loc[pdf["is_pm"] == 0, ["docid", "gid"]].drop_duplicates()
+            cnt = dg.groupby("docid", sort=False).size()
+            surv = cnt[cnt == len(need_np)].index.to_numpy()
         else:
-            survivors = list(pdf["docid"].unique())
-        if not survivors:
+            surv = pdf["docid"].unique()
+        if surv.size == 0:
             return
-        surv_set = set(survivors)
+        pr = pdf[pdf["docid"].isin(surv)].reset_index(drop=True)
 
-        # --- positional pass on survivors only ---------------------------
-        pos_rows = pdf[pdf["docid"].isin(surv_set)]
-        # decode positions: gid -> field -> docid -> sorted positions
-        results = []
-        for docid, doc_pdf in pos_rows.groupby("docid", sort=False):
-            # group positions per (gid, field)
-            by_gf: dict[tuple, dict] = {}
-            for r in doc_pdf.itertuples(index=False):
-                positions = codec.delta_decode(bytes(r.pos_vb))
-                key = (r.gid, r.field)
-                slot = by_gf.setdefault(key, {})
-                slot.setdefault(r.midx, set()).update(int(p) for p in positions)
-            ok = True
-            # validate phrase groups: adjacency of members in some field
-            group_field_pos: dict[int, dict[int, list]] = {}
-            for gid in range(n_groups):
-                gf: dict[int, list] = {}
-                if gid in phrase_groups:
-                    nmem = phrase_groups[gid]
-                    found = False
-                    for (g2, fld), slot in by_gf.items():
-                        if g2 != gid or len(slot) < nmem:
-                            continue
-                        starts = slot.get(0, set())
-                        for mi in range(1, nmem):
-                            starts = {
-                                p for p in starts if (p + mi) in slot.get(mi, set())
-                            }
-                            if not starts:
-                                break
-                        if starts:
-                            gf[fld] = sorted(starts)
-                            found = True
-                    if not found:
-                        ok = False
-                        break
-                else:
-                    for (g2, fld), slot in by_gf.items():
-                        if g2 == gid:
-                            allpos: set = set()
-                            for s in slot.values():
-                                allpos |= s
-                            if allpos:
-                                gf[fld] = sorted(allpos)
-                if gf:
-                    group_field_pos[gid] = gf
-            if not ok or len(group_field_pos) < n_groups:
+        # --- one-pass positional decode ----------------------------------
+        row_of_val, positions = _decode_all(pr)
+        docid_v = pr["docid"].to_numpy()[row_of_val]
+        gid_v = pr["gid"].to_numpy()[row_of_val]
+        fld_v = pr["field"].to_numpy()[row_of_val]
+        midx_v = pr["midx"].to_numpy()[row_of_val]
+        ispm_v = pr["is_pm"].to_numpy()[row_of_val]
+        pairs = np.stack([docid_v, fld_v.astype(np.int64)], axis=1)
+        uniq, key_of_val = np.unique(pairs, axis=0, return_inverse=True)
+        code = (key_of_val.astype(np.int64) << _POS_BITS) | positions
+
+        # --- phrase validation (vector intersections per member) ---------
+        alive = surv
+        starts_by_gid: dict[int, np.ndarray] = {}
+        for gid, nmem in phrase_groups.items():
+            sel = (gid_v == gid) & (ispm_v == 1)
+            starts = np.unique(code[sel & (midx_v == 0)])
+            for mi in range(1, nmem):
+                smi = sel & (midx_v == mi) & (positions > mi)
+                aligned = np.unique(code[smi] - mi)
+                starts = starts[np.isin(starts, aligned, assume_unique=True)]
+                if starts.size == 0:
+                    break
+            starts_by_gid[gid] = starts
+            ok_docs = np.unique(uniq[np.unique(starts >> _POS_BITS), 0])
+            alive = alive[np.isin(alive, ok_docs)]
+            if alive.size == 0:
+                return
+        alive_set = set(alive.tolist())
+
+        # --- LCS chain DP: n_groups vector rounds --------------------------
+        best_arr = np.zeros(len(uniq), dtype=np.int32)
+        prev_codes = np.empty(0, dtype=np.int64)
+        prev_lens = np.empty(0, dtype=np.int32)
+        for g in range(n_groups):
+            if g in phrase_groups:
+                cur = starts_by_gid[g]
+            else:
+                cur = np.unique(code[(gid_v == g) & (ispm_v == 0)])
+            if cur.size == 0:
+                prev_codes = np.empty(0, dtype=np.int64)
+                prev_lens = np.empty(0, dtype=np.int32)
                 continue
-            # LCS per field → weighted sum (Q7/Q8)
-            wsum = 0.0
-            fields_present = {
-                fld for gf in group_field_pos.values() for fld in gf
+            lens = np.ones(cur.size, dtype=np.int32)
+            if prev_codes.size:
+                idx = np.searchsorted(prev_codes, cur - 1)
+                idxc = np.clip(idx, 0, prev_codes.size - 1)
+                hit = prev_codes[idxc] == (cur - 1)
+                lens = np.where(hit, prev_lens[idxc] + 1, 1).astype(np.int32)
+            np.maximum.at(best_arr, cur >> _POS_BITS, lens)
+            prev_codes, prev_lens = cur, lens
+
+        # --- assemble scores ------------------------------------------------
+        lcs_df = pd.DataFrame(
+            {
+                "docid": uniq[:, 0],
+                "wl": best_arr.astype(np.float64) * w_fid[uniq[:, 1]],
             }
-            for fld in fields_present:
-                per_group = {
-                    g: gf[fld]
-                    for g, gf in group_field_pos.items()
-                    if fld in gf
-                }
-                lcs = ranker.lcs_of_field(per_group, n_groups)
-                wsum += weights_by_fid[fld] * lcs
-            prox = ranker.proximity_score(wsum, n_groups)
-            bm = ranker.bm25_scale(float(bm25_raw.get(docid, 0.0)))
-            first = doc_pdf.iloc[0]
-            fresh = ranker.freshness(
-                now_ts, int(first["date_insert"]), int(first["date_modify"])
-            )
-            raw = prox + bm + fresh
-            results.append(
-                (
-                    int(docid), raw, raw / ranker.max_score(n_groups), bm, prox,
-                    fresh, first["lang"], int(first["date_insert"]),
-                    int(first["date_modify"]),
-                )
-            )
-        if results:
-            yield pd.DataFrame(
-                results,
-                columns=[
-                    "docid", "weight_raw", "score", "bm25", "prox", "fresh",
-                    "lang", "date_insert", "date_modify",
-                ],
-            )
+        )
+        wsum = lcs_df.groupby("docid", sort=False)["wl"].sum()
+        att = pr.drop_duplicates("docid").set_index("docid")[
+            ["lang", "date_insert", "date_modify"]
+        ]
+        out = att.join(wsum.rename("wsum"), how="left").join(
+            bm25_raw.rename("raw"), how="left"
+        )
+        if phrase_groups:
+            out = out[out.index.isin(alive_set)]
+        if out.empty:
+            return
+        # drop docs with zero matched positions overall (defensive)
+        out = out.fillna({"wsum": 0.0, "raw": 0.0})
+        prox = out["wsum"].to_numpy() / mls * PROXIMITY_SCALE
+        bm = (out["raw"].to_numpy() + 0.5) * 999
+        dates = out[["date_insert", "date_modify"]].to_numpy(dtype=np.float64)
+        age = now_ts - dates.sum(axis=1) / 2.0
+        freshb = np.maximum(1.0 - age / 47_304_000, 0.0)
+        fresh = 1000.0 * freshb**4
+        raw_w = prox + bm + fresh
+        res = pd.DataFrame(
+            {
+                "docid": out.index.to_numpy(),
+                "weight_raw": raw_w,
+                "score": raw_w / ranker.max_score(n_groups),
+                "bm25": bm,
+                "prox": prox,
+                "fresh": fresh,
+                "lang": out["lang"].to_numpy(),
+                "date_insert": out["date_insert"].to_numpy(),
+                "date_modify": out["date_modify"].to_numpy(),
+            }
+        )
+        yield res
 
     return score_partition
 
@@ -308,8 +366,8 @@ def score_matches(
     if query.blank or not query.groups:
         return spark.createDataFrame([], SCORED_SCHEMA)
 
-    nb = layout.meta.term_buckets
-    mapping, _stats = _expand_groups(spark, layout, query, nb)
+    meta = layout.meta
+    mapping, _stats, buckets = _expand_groups(spark, layout, query)
     if not mapping:
         return spark.createDataFrame([], SCORED_SCHEMA)
     # not every group found in dict → AND can never be satisfied
@@ -318,12 +376,6 @@ def score_matches(
         return spark.createDataFrame([], SCORED_SCHEMA)
 
     terms = sorted({m[0] for m in mapping})
-    # bucket ids computed with the same hash as the build (tiny Spark job)
-    bpdf = spark.createDataFrame(
-        [(t,) for t in terms], "term string"
-    ).select("term", F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int").alias("b"))
-    buckets = sorted({r.b for r in bpdf.collect()})
-
     map_df = spark.createDataFrame(
         mapping, "term string, gid int, idf double, is_pm int, midx int, fld int"
     )
@@ -332,14 +384,15 @@ def score_matches(
     post = post.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
     if langs:
         post = post.filter(F.col("lang").isin(langs))  # Q6 pushdown
-    post = _apply_tombstones(spark, layout, post)
+    if meta.n_tombstones:
+        post = _apply_tombstones(spark, layout, post)
     # newest-segment-wins for updated docs: drop postings of docids that
     # appear in a newer segment (upsert supersedes, SURVEY.md §3.2)
-    meta = layout.meta
     if len(meta.segments) > 1:
-        docs_seq = _apply_tombstones(
-            spark, layout, _live_union(spark, layout, "docs")
-        ).groupBy("docid").agg(F.max("seq").alias("mseq"))
+        docs_union = _live_union(spark, layout, "docs")
+        if meta.n_tombstones:
+            docs_union = _apply_tombstones(spark, layout, docs_union)
+        docs_seq = docs_union.groupBy("docid").agg(F.max("seq").alias("mseq"))
         post = post.join(F.broadcast(docs_seq), "docid", "left").filter(
             F.col("seq") == F.col("mseq")
         ).drop("mseq")
@@ -418,12 +471,12 @@ def search_with_meta(spark, index_dir, query, **kw):
     layout = IndexLayout(index_dir)
     res = search(spark, index_dir, query, **kw)
     meta: dict = {"total": 0, "keywords": []}
-    if not query.blank:
+    if not query.blank and query.groups:
         scored = score_matches(
             spark, index_dir, query, kw.get("langs"), kw.get("now_ts", 0)
         )
         meta["total"] = scored.count()
-        _, stats = _expand_groups(spark, layout, query, layout.meta.term_buckets)
+        _, stats, _b = _expand_groups(spark, layout, query)
         for g in query.groups:
             for a in g.alts:
                 w0 = a.words[0]

@@ -20,6 +20,14 @@ def test_delta_roundtrip(vals):
     assert np.array_equal(codec.delta_decode(codec.delta_encode(arr)), arr)
 
 
+@given(st.lists(st.integers(min_value=0, max_value=2**40), min_size=0, max_size=50))
+def test_small_matches_numpy(vals):
+    vals = sorted(vals)
+    arr = np.array(vals, dtype=np.uint64)
+    assert codec.delta_encode_small(vals) == codec.delta_encode(arr)
+    assert codec.delta_decode_small(codec.delta_encode_small(vals)) == vals
+
+
 def test_empty():
     assert codec.vb_encode(np.array([], dtype=np.uint64)) == b""
     assert codec.delta_decode(b"").size == 0

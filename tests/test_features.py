@@ -1,0 +1,93 @@
+"""Snippets (Q16), suggest (Q17), facets (Q13) feature tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from sphinxsearchengine_spark.config import EngineConfig
+from sphinxsearchengine_spark.corpus import (
+    PINNED_NOW,
+    derive_documents,
+    generate_corpus,
+)
+from sphinxsearchengine_spark.index.builder import build_index
+from sphinxsearchengine_spark.query.executor import live_docs, search
+from sphinxsearchengine_spark.query.facets import category_facet
+from sphinxsearchengine_spark.query.parser import parse_query
+from sphinxsearchengine_spark.query.snippets import (
+    DEFAULTS,
+    build_excerpt,
+    _query_matchers,
+    with_snippets,
+)
+from sphinxsearchengine_spark.query.suggest import did_you_mean, suggest_term
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("feat") / "idx")
+    docs = derive_documents(generate_corpus(spark, 150, partitions=4))
+    build_index(spark, docs, d, EngineConfig(term_buckets=8), salt_factor=2)
+    return d
+
+
+class TestSnippets:
+    def test_build_excerpt_basic(self):
+        q = parse_query("engine")
+        st, ex, pf = _query_matchers(q)
+        text = " ".join(["word"] * 40) + " the ENGINE runs " + " ".join(["pad"] * 40)
+        out = build_excerpt(text, st, ex, pf, DEFAULTS)
+        assert "<b>ENGINE</b>" in out
+        assert len(out) <= DEFAULTS["limit"] + 20
+        assert out.count("word") <= 16  # windowed, not the whole doc
+
+    def test_stemmed_match_highlighted(self):
+        q = parse_query("running")
+        st, ex, pf = _query_matchers(q)
+        out = build_excerpt("they were RUNS and runners", st, ex, pf, DEFAULTS)
+        assert "<b>RUNS</b>" in out  # stem('runs')==stem('running')? run/run
+
+    def test_no_match_returns_head(self):
+        q = parse_query("zzz")
+        st, ex, pf = _query_matchers(q)
+        out = build_excerpt("alpha beta gamma", st, ex, pf, DEFAULTS)
+        assert out.startswith("alpha")
+
+    def test_with_snippets_df(self, spark, idx):
+        res = search(spark, idx, "hotterm", limit=3, now_ts=PINNED_NOW)
+        docs = live_docs(spark, idx).select("docid", "content")
+        hyd = res.join(docs, "docid")
+        out = with_snippets(hyd, "hotterm").select("docid", "snippet").collect()
+        assert out and all("<b>hotterm</b>" in r.snippet for r in out)
+
+
+class TestSuggest:
+    def test_suggest_typo(self, spark, idx):
+        # 'hotterm' is frequent; a 1-edit typo should suggest it back
+        assert suggest_term(spark, idx, "hottern") == "hotterm"
+
+    def test_suggest_known_word_none(self, spark, idx):
+        assert suggest_term(spark, idx, "hotterm") is None
+
+    def test_did_you_mean(self, spark, idx):
+        out = did_you_mean(spark, idx, "hottern index")
+        assert out == "hotterm index"
+
+    def test_did_you_mean_all_known(self, spark, idx):
+        assert did_you_mean(spark, idx, "hotterm index") is None
+
+
+class TestFacets:
+    def test_category_facet(self, spark, idx):
+        rows = category_facet(spark, idx, "hotterm", now_ts=PINNED_NOW).collect()
+        cats = [r.category for r in rows]
+        assert cats == sorted(cats)
+        # categories are [repo, lang]; langs present as facet values
+        assert any(c in ("python", "go", "rust", "php", "java") for c in cats)
+        total_lang_docs = sum(
+            r.n_docs for r in rows if r.category in ("python", "go", "rust", "php", "java")
+        )
+        from sphinxsearchengine_spark.query.executor import score_matches
+
+        n_matched = score_matches(spark, idx, "hotterm", now_ts=PINNED_NOW).count()
+        assert total_lang_docs == n_matched
