@@ -23,7 +23,6 @@ from sphinxsearchengine_spark.corpus import (
     generate_corpus,
 )
 from sphinxsearchengine_spark.index.builder import build_index
-from sphinxsearchengine_spark.query.executor import search_with_meta
 
 
 def main() -> int:
@@ -44,10 +43,12 @@ def main() -> int:
         print(f"BUILT index at {index_dir}: {meta.n_docs} docs, "
               f"{meta.term_buckets} buckets, segments={[s['name'] for s in meta.segments]}")
     elif cmd == "search":
+        from sphinxsearchengine_spark.engine import Searcher
+
         q = sys.argv[3]
         limit = int(sys.argv[4]) if len(sys.argv) > 4 else 10
-        res, meta = search_with_meta(
-            spark, index_dir, q, limit=limit, now_ts=PINNED_NOW
+        res, meta = Searcher(spark, index_dir).search_with_meta(
+            q, limit=limit, now_ts=PINNED_NOW
         )
         rows = res.collect()
         print(f"QUERY {q!r}  total={meta['total']}  keywords={meta['keywords']}")

@@ -107,7 +107,7 @@ def live_docs(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
-def _expand_groups(spark, layout, query: Query):
+def _expand_groups(spark, layout, query: Query, dict_pdf=None):
     """Steps 2-3: dict lookup → per-(term, gid) mapping + idf constants.
 
     Returns (mapping_rows, stats, buckets):
@@ -137,23 +137,30 @@ def _expand_groups(spark, layout, query: Query):
             else:  # phrase
                 exact_terms.update(stem_token(w) for w in a.words)
 
-    dic = _live_union(spark, layout, "dict")
-    cond = F.col("term").isin(list(exact_terms)) if exact_terms else F.lit(False)
-    for p in sorted(prefixes):
-        cond = cond | ((F.col("term") >= p) & (F.col("term") < p + _MAX_CHAR))
-    dic_pdf = (
-        dic.filter(cond)
-        .groupBy("term")
-        .agg(
-            F.sum("df").alias("df"),
-            F.sum("hits").alias("hits"),
-            F.max("max_tf").alias("max_tf"),
-            F.sum("exact_df").alias("exact_df"),
-            F.sum("exact_hits").alias("exact_hits"),
-            F.first("bucket").alias("bucket"),
+    if dict_pdf is not None:
+        # driver-RAM dictionary (Searcher): no Spark job for expansion
+        mask = dict_pdf["term"].isin(list(exact_terms))
+        for p in sorted(prefixes):
+            mask |= dict_pdf["term"].str.startswith(p)
+        dic_pdf = dict_pdf[mask]
+    else:
+        dic = _live_union(spark, layout, "dict")
+        cond = F.col("term").isin(list(exact_terms)) if exact_terms else F.lit(False)
+        for p in sorted(prefixes):
+            cond = cond | ((F.col("term") >= p) & (F.col("term") < p + _MAX_CHAR))
+        dic_pdf = (
+            dic.filter(cond)
+            .groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("hits").alias("hits"),
+                F.max("max_tf").alias("max_tf"),
+                F.sum("exact_df").alias("exact_df"),
+                F.sum("exact_hits").alias("exact_hits"),
+                F.first("bucket").alias("bucket"),
+            )
+            .toPandas()
         )
-        .toPandas()
-    )
     stats = {
         r.term: (int(r.df), int(r.hits), int(r.max_tf), int(r.exact_df),
                  int(r.exact_hits))
@@ -479,6 +486,7 @@ def score_matches(
     langs: list[str] | None = None,
     now_ts: int = 0,
     prune: dict | None = None,
+    _ctx: dict | None = None,
 ) -> DataFrame:
     """Match + score all documents for `query`; returns the scored set
     (docid, weight_raw, score, …) BEFORE ordering/limit."""
@@ -489,7 +497,8 @@ def score_matches(
         return spark.createDataFrame([], SCORED_SCHEMA)
 
     meta = layout.meta
-    mapping, _stats, buckets = _expand_groups(spark, layout, query)
+    dict_pdf = _ctx.get("dict_pdf") if _ctx else None
+    mapping, _stats, buckets = _expand_groups(spark, layout, query, dict_pdf)
     if not mapping:
         return spark.createDataFrame([], SCORED_SCHEMA)
     # not every group found in dict → AND can never be satisfied
@@ -565,6 +574,8 @@ def search(
     order_by: str = "weight",
     sort: str = "desc",
     now_ts: int = 0,
+    _ctx: dict | None = None,
+    _scored: DataFrame | None = None,
 ) -> DataFrame:
     """Full search path → hydrated top-k result DataFrame (rank-ordered).
 
@@ -572,12 +583,17 @@ def search(
     limit is capped at MATCH_CAP (the reference's limit=1000, :169).
     """
     limit = min(limit, MATCH_CAP)
-    prune = {
-        "topn": offset + limit,
-        "order": order_by if order_by in _ORDER_COLS else "weight",
-        "sort": "desc" if sort == "desc" else "asc",
-    }
-    scored = score_matches(spark, index_dir, query, langs, now_ts, prune=prune)
+    if _scored is not None:
+        scored = _scored
+    else:
+        prune = {
+            "topn": offset + limit,
+            "order": order_by if order_by in _ORDER_COLS else "weight",
+            "sort": "desc" if sort == "desc" else "asc",
+        }
+        scored = score_matches(
+            spark, index_dir, query, langs, now_ts, prune=prune, _ctx=_ctx
+        )
     col = _ORDER_COLS.get(order_by, "weight_raw")
     ordc = F.col(col).desc() if sort == "desc" else F.col(col).asc()
     topk = scored.orderBy(ordc, F.col("docid").asc()).limit(offset + limit)
@@ -589,9 +605,10 @@ def search(
         topk.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") > offset)
     )
-    docs = live_docs(spark, index_dir).select(
-        "docid", "repo", "path", "commit", "content_sha", "category"
-    )
+    docs = _ctx.get("docs_df") if _ctx else None
+    if docs is None:
+        docs = live_docs(spark, index_dir)
+    docs = docs.select("docid", "repo", "path", "commit", "content_sha", "category")
     out = docs.join(
         F.broadcast(topk.select("rank", "docid", "score", "weight_raw", "lang",
                                 "date_insert", "date_modify")),
@@ -600,32 +617,41 @@ def search(
     return out.select(*RESULT_COLS).orderBy("rank")  # Q15 rank preserved
 
 
-def search_with_meta(spark, index_dir, query, **kw):
-    """search + SHOW META analog (Q11 total, Q12 per-keyword stats)."""
+def search_with_meta(spark, index_dir, query, _ctx=None, **kw):
+    """search + SHOW META analog (Q11 total, Q12 per-keyword stats).
+
+    Single scoring pass: the exhaustive match set is cached, counted for
+    `total`, and re-used for the top-k selection."""
     if isinstance(query, str):
         query = parse_query(query)
     layout = IndexLayout(index_dir)
-    res = search(spark, index_dir, query, **kw)
     meta: dict = {"total": 0, "keywords": []}
-    if not query.blank and query.groups:
-        scored = score_matches(
-            spark, index_dir, query, kw.get("langs"), kw.get("now_ts", 0)
-        )
+    if query.blank or not query.groups:
+        return search(spark, index_dir, query, _ctx=_ctx, **kw), meta
+    scored = score_matches(
+        spark, index_dir, query, kw.get("langs"), kw.get("now_ts", 0), _ctx=_ctx
+    ).cache()
+    try:
         meta["total"] = scored.count()
-        _, stats, _b = _expand_groups(spark, layout, query)
-        for g in query.groups:
-            for a in g.alts:
-                w0 = a.words[0]
-                if a.kind == "exact":
-                    s = stem_token(w0)
-                    if s == w0:  # exact stats live on the stem row
-                        st = stats.get(w0, (0, 0, 0, 0, 0))
-                        df_, hits = st[3], st[4]
-                    else:
-                        st = stats.get(EXACT_PREFIX + w0, (0, 0, 0, 0, 0))
-                        df_, hits = st[0], st[1]
+        res = search(spark, index_dir, query, _ctx=_ctx, _scored=scored, **kw)
+        res = spark.createDataFrame(res.collect(), schema=res.schema)
+    finally:
+        scored.unpersist()
+    dict_pdf = _ctx.get("dict_pdf") if _ctx else None
+    _, stats, _b = _expand_groups(spark, layout, query, dict_pdf)
+    for g in query.groups:
+        for a in g.alts:
+            w0 = a.words[0]
+            if a.kind == "exact":
+                s = stem_token(w0)
+                if s == w0:  # exact stats live on the stem row
+                    st = stats.get(w0, (0, 0, 0, 0, 0))
+                    df_, hits = st[3], st[4]
                 else:
-                    st = stats.get(stem_token(w0), (0, 0, 0, 0, 0))
+                    st = stats.get(EXACT_PREFIX + w0, (0, 0, 0, 0, 0))
                     df_, hits = st[0], st[1]
-                meta["keywords"].append({"keyword": w0, "docs": df_, "hits": hits})
+            else:
+                st = stats.get(stem_token(w0), (0, 0, 0, 0, 0))
+                df_, hits = st[0], st[1]
+            meta["keywords"].append({"keyword": w0, "docs": df_, "hits": hits})
     return res, meta

@@ -1,0 +1,67 @@
+"""Physical-plan assertions (SURVEY.md §4): the declarative parts of the
+query pipeline must keep their Catalyst optimizations — bucket partition
+pruning + term predicate pushdown on the postings scan, broadcast
+hydration join, column pruning away of the fat pos_vb/content columns
+where they are not needed."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sphinxsearchengine_spark.config import EngineConfig
+from sphinxsearchengine_spark.corpus import (
+    PINNED_NOW,
+    derive_documents,
+    generate_corpus,
+)
+from sphinxsearchengine_spark.index.builder import build_index
+from sphinxsearchengine_spark.index.layout import IndexLayout
+from sphinxsearchengine_spark.query.executor import search, score_matches
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("plans") / "idx")
+    docs = derive_documents(generate_corpus(spark, 150, partitions=4))
+    build_index(spark, docs, d, EngineConfig(term_buckets=8), salt_factor=2)
+    return d
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_postings_scan_is_bucket_pruned(spark, idx):
+    scored = score_matches(spark, idx, "hotterm", now_ts=PINNED_NOW)
+    plan = _plan(scored)
+    # partition pruning on the bucket partition column
+    assert "bucket" in plan
+    # term predicate pushed to the parquet reader
+    assert "PushedFilters" in plan and "term" in plan.split("PushedFilters", 1)[1]
+
+
+def test_hydration_join_is_broadcast(spark, idx):
+    res = search(spark, idx, "hotterm", limit=5, now_ts=PINNED_NOW)
+    plan = _plan(res)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dict_scan_prunes_columns(spark, idx):
+    layout = IndexLayout(idx)
+    dic = spark.read.parquet(layout.dict("seg_00000")).filter(
+        F.col("term") == "hotterm"
+    ).select("term", "df")
+    plan = _plan(dic)
+    after = plan.split("ReadSchema", 1)[1][:200] if "ReadSchema" in plan else plan
+    assert "hits" not in after  # unselected stat column not read
+
+
+def test_lang_filter_pushed_down(spark, idx):
+    scored = score_matches(
+        spark, idx, "hotterm", langs=["python"], now_ts=PINNED_NOW
+    )
+    plan = _plan(scored)
+    pushed = plan.split("PushedFilters", 1)[1][:400] if "PushedFilters" in plan else ""
+    assert "lang" in pushed  # Q6 attribute filter reaches the parquet scan
