@@ -193,6 +193,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["rel_events_window"] = rel_events_window
 
+    def rel_sessionize(spark, sf):  # gap-based sessionization (OLAP pattern)
+        from pyspark.sql import Window
+
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            ev.withColumn("prev_ts", F.lag("ts").over(w))
+            .withColumn(
+                "new_sess",
+                F.when(
+                    F.col("prev_ts").isNull()
+                    | (
+                        F.unix_timestamp(F.col("ts").cast("timestamp"))
+                        - F.unix_timestamp(F.col("prev_ts").cast("timestamp"))
+                        > 1800
+                    ),
+                    1,
+                ).otherwise(0),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.sum("new_sess").alias("n_sessions"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+        )
+    q["rel_sessionize"] = rel_sessionize
+
+    def rel_pivot(spark, sf):  # conditional-agg pivot
+        ev = _t(spark, sf, "events")
+        kinds = sorted(
+            r.event_type for r in ev.select("event_type").distinct().collect()
+        )[:3]
+        agg = [
+            F.count(F.when(F.col("event_type") == k, 1)).alias(f"n_{c}")
+            for k, c in zip(kinds, "abc")
+        ]
+        return ev.groupBy("user_id").agg(*agg)
+    q["rel_pivot"] = rel_pivot
+
+    def rel_rollup(spark, sf):  # ROLLUP aggregate
+        c, n = _t(spark, sf, "customer"), _t(spark, sf, "nation")
+        j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        return (
+            j.rollup("n_name", "c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_cust"),
+                F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            )
+            .select(
+                F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+                "n_cust",
+                "total_bal",
+            )
+        )
+    q["rel_rollup"] = rel_rollup
+
     # ---- full-text retrieval semantics on `documents` (Q1/Q2/Q4/Q6, Q12/Q13)
     def ft_term_stats(spark, sf):  # Q12 per-keyword docs/hits
         return (
@@ -445,6 +502,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
                event_type, count(*) AS n, round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2
+    """
+
+    sql["rel_sessionize"] = """
+        WITH g AS (
+          SELECT user_id, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+        FROM g GROUP BY user_id
+    """
+    sql["rel_pivot"] = """
+        SELECT user_id,
+               count(*) FILTER (event_type = (SELECT min(event_type) FROM events)) AS n_a,
+               count(*) FILTER (event_type = (
+                 SELECT event_type FROM (SELECT DISTINCT event_type FROM events
+                                         ORDER BY event_type LIMIT 1 OFFSET 1))) AS n_b,
+               count(*) FILTER (event_type = (
+                 SELECT event_type FROM (SELECT DISTINCT event_type FROM events
+                                         ORDER BY event_type LIMIT 1 OFFSET 2))) AS n_c
+        FROM events GROUP BY user_id
+    """
+    sql["rel_rollup"] = """
+        SELECT coalesce(n_name, 'ALL') AS nation,
+               coalesce(c_mktsegment, 'ALL') AS segment,
+               count(*) AS n_cust,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_name, c_mktsegment)
     """
 
     sql["ft_term_stats"] = f"""

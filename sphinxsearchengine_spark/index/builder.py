@@ -193,11 +193,14 @@ def build_segment(
     ]
 
     if not done("docs"):
-        # Range-partition by docid → parquet row-group min/max prune the
-        # hydration join's docid lookups.
+        # Hash-partition + per-file docid sort: files are docid-sorted so
+        # parquet row-group min/max stats prune hydration lookups at
+        # production row-group counts, WITHOUT repartitionByRange's
+        # sampling pass (which would execute the upstream input twice —
+        # the source may be an expensive derivation).
         (
             documents.select(*doc_cols)
-            .repartitionByRange(max(4, nb // 2), "docid")
+            .repartition(max(spark.sparkContext.defaultParallelism, nb // 2), "docid")
             .sortWithinPartitions("docid")
             .write.mode("overwrite")
             .parquet(layout.docs(seg))

@@ -36,6 +36,8 @@ QUERIES = [
     dict(query="needleuniq"),
     dict(query='"alpha beta"'),
     dict(query="=running"),
+    dict(query="=search"),  # stem-identical surface → exact_tf row path
+    dict(query="=search =running index"),
     dict(query="pars*"),
     dict(query="searches | merge"),
     dict(query="поиск"),

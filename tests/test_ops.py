@@ -1,0 +1,154 @@
+"""Training-data ops unit tests (dedup / similarity / textstats /
+multimodal) — semantics beyond what the DuckDB gate covers."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from sphinxsearchengine_spark.ops.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from sphinxsearchengine_spark.ops.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    frame_sample_plan,
+    synth_media,
+)
+from sphinxsearchengine_spark.ops.similarity import cosine_topk, lsh_topk
+from sphinxsearchengine_spark.ops.textstats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " today"),  # near dup of 1
+        (4, "der hund läuft und die katze ist mit dem vogel"),
+        (5, "completely different words about spark and indexes and queries"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+class TestDedup:
+    def test_exact(self, spark, docs):
+        groups = exact_duplicates(docs, "id", "text").collect()
+        dup = [g for g in groups if g.copies > 1]
+        assert len(dup) == 1 and dup[0].keeper_id == 1 and dup[0].copies == 2
+
+    def test_jaccard_finds_near_dup(self, spark, docs):
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, "id", "text", threshold=0.5).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+        assert (1, 5) not in pairs
+
+    def test_minhash_agrees(self, spark, docs):
+        pairs = {(r.id_a, r.id_b) for r in
+                 minhash_lsh_pairs(docs, "id", "text", threshold=0.5).collect()}
+        assert (1, 2) in pairs and (1, 5) not in pairs
+
+    def test_simhash(self, spark, docs):
+        pairs = {(r.id_a, r.id_b): r.hamming
+                 for r in simhash_pairs(docs, "id", "text", max_hamming=3).collect()}
+        assert pairs.get((1, 2)) == 0
+
+    def test_stop_shingle_cap(self, spark):
+        # a shingle present in every doc is dropped → no spurious pairs
+        rows = [(i, f"common shingle text unique{i} word{i} tail{i}") for i in range(10)]
+        df = spark.createDataFrame(rows, "id long, text string")
+        out = ngram_jaccard_pairs(
+            df, "id", "text", threshold=0.1, stop_shingle_df=5
+        ).collect()
+        assert out == []
+
+
+class TestSimilarity:
+    def test_exact_topk_orders_by_cosine(self, spark):
+        rng = np.random.RandomState(7)
+        vecs = rng.randn(50, 8).astype("float32")
+        qv = vecs[0].tolist()
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "id long, vec array<float>",
+        )
+        got = cosine_topk(df, "id", "vec", qv, k=5, exclude_id=0).collect()
+        # numpy oracle
+        sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+        order = [i for i in np.argsort(-sims) if i != 0][:5]
+        assert [r.id for r in got] == order
+
+    def test_lsh_recall_vs_exact(self, spark):
+        # clustered vectors (the realistic embedding regime for LSH):
+        # 10 centers, small noise — true neighbors share sign buckets
+        rng = np.random.RandomState(11)
+        centers = rng.randn(10, 16) * 3
+        vecs = (
+            centers[rng.randint(0, 10, 200)] + rng.randn(200, 16) * 0.3
+        ).astype("float32")
+        qv = vecs[3].tolist()
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "id long, vec array<float>",
+        )
+        exact = {r.id for r in cosine_topk(df, "id", "vec", qv, 10, exclude_id=3).collect()}
+        approx = {r.id for r in lsh_topk(df, "id", "vec", qv, 10, n_planes=8,
+                                         probe_hamming=2, exclude_id=3).collect()}
+        assert len(exact & approx) >= 5  # recall@10 >= 0.5 on random data
+
+
+class TestTextStats:
+    def test_token_count_and_quality(self, spark, docs):
+        tc = {r.id: r.n_tokens for r in token_count(docs, "id", "text").collect()}
+        assert tc[1] == 13 and tc[6] == 0
+        qs = {r.id: r for r in quality_score(docs, "id", "text").collect()}
+        assert qs[1].quality == 1.0 and qs[6].quality == 0.0
+        assert 0 < qs[1].stopword_ratio < 0.5
+
+    def test_langid(self, spark, docs):
+        pred = {r.id: r.pred_lang for r in lang_id(docs, "id", "text").collect()}
+        assert pred[1] == "en" and pred[4] == "de" and pred[6] == "und"
+
+    def test_fingerprint_stability(self, spark, docs):
+        fp1 = {r.id: r.fp for r in fingerprint(docs, "id", "text").collect()}
+        fp2 = {r.id: r.fp for r in fingerprint(docs, "id", "text").collect()}
+        assert fp1 == fp2 and fp1[1] == fp1[2] != fp1[5]
+
+
+class TestMultimodal:
+    def test_feature_plumbing(self, spark):
+        media = synth_media(spark, 30)
+        feats = extract_features(media).collect()
+        assert len(feats) == 30
+        assert all(len(r.feature) == FEATURE_DIM for r in feats)
+        # deterministic: same payload → same feature
+        again = {r.media_id: r.feature for r in extract_features(media).collect()}
+        for r in feats:
+            assert again[r.media_id] == r.feature
+
+    def test_frame_plan(self, spark):
+        media = synth_media(spark, 30)
+        plan = frame_sample_plan(media, every_ms=60000)
+        rows = plan.groupBy("media_id").count().collect()
+        vids = media.filter(F.col("kind") == "video").count()
+        assert len(rows) == vids and all(r["count"] >= 1 for r in rows)
+
+    def test_real_decoder_gate(self, spark):
+        media = synth_media(spark, 5)
+        with pytest.raises(NotImplementedError):
+            extract_features(media, decode_stub=False)
