@@ -172,8 +172,16 @@ def build_segment(
     seg: str,
     cfg: EngineConfig,
     salt_factor: int = 4,
+    preprocess=None,
 ) -> dict:
-    """Tokenize + write one immutable segment; resumable per stage."""
+    """Tokenize + write one immutable segment; resumable per stage.
+
+    ``preprocess``: optional Column-expression hook ``f(content_col) ->
+    Column`` applied to the text field before indexing — the analog of
+    the reference's ``SearchUpdate`` extension hook that lets plugins
+    rewrite indexed text (SphinxSearchEngine_class.php:426,
+    SphinxSearchUpdate.php:58), kept declarative so Catalyst still
+    pipelines it into the scan."""
     layout = IndexLayout(index_dir)
     man_path = layout.manifest(seg)
     manifest = _manifest_load(man_path)
@@ -212,10 +220,18 @@ def build_segment(
 
     if not done("postings"):
         with _split_hint(spark, layout.docs(seg), parallelism * 2):
-            tok = spark.read.parquet(layout.docs(seg)).select(
+            tok_src = spark.read.parquet(layout.docs(seg)).select(
                 "docid", "path", "lang", "content", "category_search",
                 "date_insert", "date_modify",
-            ).mapInPandas(_tokenize_batch, schema=POSTINGS_SCHEMA)
+            )
+            if preprocess is not None:
+                # rewrite only the INDEXED text; the stored docs table —
+                # and with it the content_sha invariant — is untouched,
+                # matching the reference hook's semantics
+                tok_src = tok_src.withColumn(
+                    "content", preprocess(F.col("content"))
+                )
+            tok = tok_src.mapInPandas(_tokenize_batch, schema=POSTINGS_SCHEMA)
             tok = tok.withColumn(
                 "bucket", F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int")
             ).withColumn(
@@ -269,6 +285,7 @@ def build_index(
     index_dir: str,
     cfg: EngineConfig | None = None,
     salt_factor: int = 4,
+    preprocess=None,
 ) -> IndexMeta:
     """Full bulk build: one base segment + fresh meta (reference S1/S2,
     auto-bootstrap analog of init_index, SphinxSearchEngine_class.php:484-535).
@@ -277,7 +294,9 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     layout = IndexLayout(index_dir)
     seg = "seg_00000"
-    stages = build_segment(spark, documents, index_dir, seg, cfg, salt_factor)
+    stages = build_segment(
+        spark, documents, index_dir, seg, cfg, salt_factor, preprocess
+    )
     meta = IndexMeta(
         n_docs=stages["docs"]["n_docs"],
         term_buckets=cfg.term_buckets,
