@@ -12,8 +12,8 @@ SphinxSearchEngine_class.php:397-453) streams a SQL join through batched
       → sortWithinPartitions(term, field, docid)
       → write parquet partitioned by bucket
     dictionary = re-read postings → two-level agg (docid-exact df/hits)
-    docs table = range-partitioned by docid (row-group pruning for
-        hydration joins)
+    docs table = hash-partitioned + docid-sorted files (row-group
+        min/max pruning for hydration joins, no sampling pass)
 
 Salting: the docid-salt spreads every term — hot or not — across
 ``salt_factor`` reducers per bucket, so a term occurring in 50% of all
@@ -34,7 +34,6 @@ import json
 import os
 import time
 
-import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -46,7 +45,6 @@ from sphinxsearchengine_spark.index.layout import (
     IndexMeta,
     POSTINGS_SCHEMA,
 )
-from sphinxsearchengine_spark.text.tokenizer import index_terms
 
 # Document columns fed to the tokenizer, in field order (SURVEY.md §1.5):
 # content -> text(0), path -> title(1), category_search -> category_search(2).

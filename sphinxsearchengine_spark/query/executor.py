@@ -111,8 +111,9 @@ def _expand_groups(spark, layout, query: Query, dict_pdf=None):
     """Steps 2-3: dict lookup → per-(term, gid) mapping + idf constants.
 
     Returns (mapping_rows, stats, buckets):
-    mapping_rows = [(term, gid, idf, is_phrase_member, member_idx, fld)],
-    stats = {term: (df, hits, max_tf)}, buckets = postings partitions to scan.
+    mapping_rows = [(term, gid, idf, is_phrase_member, member_idx, fld,
+    use_exact_tf)], stats = {term: (df, hits, max_tf, exact_df,
+    exact_hits)}, buckets = postings partitions to scan.
     """
     exact_terms: set[str] = set()
     prefixes: set[str] = set()
