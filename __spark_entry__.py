@@ -196,7 +196,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def rel_sessionize(spark, sf):  # gap-based sessionization (OLAP pattern)
         from pyspark.sql import Window
 
-        ev = _t(spark, sf, "events")
+        # Read ts as TIMESTAMP_NTZ so gap arithmetic is wall-clock (tz-free)
+        # like DuckDB's epoch(); a session-tz read would shift DST-straddling
+        # gaps by 3600 s on drivers not pinned to UTC.
+        schema = (
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        ev = spark.read.schema(schema).parquet(os.path.join(sf, "events.parquet"))
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         return (
             ev.withColumn("prev_ts", F.lag("ts").over(w))
@@ -205,9 +212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.when(
                     F.col("prev_ts").isNull()
                     | (
-                        F.unix_timestamp(F.col("ts").cast("timestamp"))
-                        - F.unix_timestamp(F.col("prev_ts").cast("timestamp"))
-                        > 1800
+                        (F.col("ts") - F.col("prev_ts"))
+                        > F.expr("INTERVAL '1800' SECOND")
                     ),
                     1,
                 ).otherwise(0),
@@ -225,8 +231,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         kinds = sorted(
             r.event_type for r in ev.select("event_type").distinct().collect()
         )[:3]
+        # always emit exactly n_a/n_b/n_c (mirrors the oracle's NULL-filter
+        # behavior when fewer than 3 distinct event types exist)
+        kinds += [None] * (3 - len(kinds))
         agg = [
-            F.count(F.when(F.col("event_type") == k, 1)).alias(f"n_{c}")
+            F.count(F.when(F.col("event_type") == F.lit(k), 1)).alias(f"n_{c}")
             for k, c in zip(kinds, "abc")
         ]
         return ev.groupBy("user_id").agg(*agg)

@@ -38,7 +38,8 @@ def main() -> int:
         SparkSession.builder.master("local[8]")
         .appName("gate-check")
         .config("spark.sql.shuffle.partitions", "16")
-        .config("spark.sql.session.timeZone", "UTC")
+        # deliberately NOT pinning spark.sql.session.timeZone: the driver's
+        # gate doesn't, so tz-sensitive queries must pass in any zone
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -53,6 +53,7 @@ class Searcher:
     ):
         self.spark = spark
         self.index_dir = index_dir
+        self.dict_cache_rows = dict_cache_rows
         self.layout = IndexLayout(index_dir)
         self._dict_pdf: pd.DataFrame | None = None
         self._docs_cached: DataFrame | None = None
@@ -115,4 +116,5 @@ class Searcher:
             self.spark,
             self.index_dir,
             cache_docs=self._docs_cached is not None,
+            dict_cache_rows=self.dict_cache_rows,
         )

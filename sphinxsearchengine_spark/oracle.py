@@ -91,13 +91,14 @@ class OracleEngine:
         nk = len(query.groups)
         mapping: list[tuple] = []
 
-        def add(term, gid, is_pm, midx, fld, uex=0):
+        def add(term, gid, is_pm, midx, fld, uex=0, pid=-1):
             if term in self.postings:
                 df = self._df(term, exact=bool(uex))
                 if df <= 0:
                     return
                 mapping.append(
-                    (term, gid, ranker.idf(df, self.n_docs, nk), is_pm, midx, fld, uex)
+                    (term, gid, ranker.idf(df, self.n_docs, nk), is_pm, midx,
+                     fld, uex, pid)
                 )
 
         def add_exact(w, gid, fld):
@@ -123,6 +124,7 @@ class OracleEngine:
             return cand[:EXPANSION_LIMIT]
 
         for gid, g in enumerate(query.groups):
+            pid = 0
             for a in g.alts:
                 if a.kind == "kw":
                     w = a.words[0]
@@ -138,7 +140,8 @@ class OracleEngine:
                         add(t, gid, 0, -1, g.field)
                 else:
                     for i, w in enumerate(a.words):
-                        add(stem_token(w), gid, 1, i, g.field)
+                        add(stem_token(w), gid, 1, i, g.field, pid=pid)
+                    pid += 1
         return mapping
 
     def score_matches(
@@ -152,16 +155,18 @@ class OracleEngine:
         mapping = self._mapping(query)
         if {m[1] for m in mapping} != set(range(n_groups)):
             return []
-        phrase_groups = {
-            gid: len(g.alts[0].words)
-            for gid, g in enumerate(query.groups)
-            if g.alts and g.alts[0].kind == "phrase"
-        }
+        phrase_alts: dict[int, dict[int, int]] = {}
+        for gid, g in enumerate(query.groups):
+            pc = 0
+            for a in g.alts:
+                if a.kind == "phrase":
+                    phrase_alts.setdefault(gid, {})[pc] = len(a.words)
+                    pc += 1
         weights_by_fid = [FIELD_WEIGHTS[n] for n in FIELD_NAMES]
 
         # candidate docs
         cand: set[int] = set()
-        for term, gid, _idf, _pm, _mi, fld, _uex in mapping:
+        for term, gid, _idf, _pm, _mi, fld, _uex, _pid in mapping:
             for docid, fields in self.postings[term].items():
                 if langs and self.attrs[docid]["lang"] not in langs:
                     continue
@@ -178,10 +183,11 @@ class OracleEngine:
             matched_nonphrase: set[int] = set()
             # gid -> field -> positions (union over terms / phrase starts)
             gf_pos: dict[int, dict[int, set]] = defaultdict(lambda: defaultdict(set))
-            pm_pos: dict[int, dict[int, dict[int, set]]] = defaultdict(
-                lambda: defaultdict(dict)
-            )  # gid -> field -> midx -> positions
-            for term, gid, idf_t, is_pm, midx, fld, uex in mapping:
+            # gid -> pid -> field -> midx -> positions
+            pm_pos: dict[int, dict[int, dict[int, dict[int, set]]]] = defaultdict(
+                lambda: defaultdict(lambda: defaultdict(dict))
+            )
+            for term, gid, idf_t, is_pm, midx, fld, uex, pid in mapping:
                 doc_fields = self.postings[term].get(docid)
                 if not doc_fields:
                     continue
@@ -194,31 +200,36 @@ class OracleEngine:
                         continue
                     tfd += eff
                     if is_pm:
-                        pm_pos[gid][fid].setdefault(midx, set()).update(positions)
+                        pm_pos[gid][pid][fid].setdefault(midx, set()).update(positions)
                     else:
                         gf_pos[gid][fid].update(positions)
                 if tfd > 0:
                     bm25_raw += ranker.bm25_term(idf_t, tfd, BM25_K1)
                     if not is_pm:
                         matched_nonphrase.add(gid)
-            need = set(range(n_groups)) - set(phrase_groups)
+            need = set(range(n_groups)) - set(phrase_alts)
             if not need <= matched_nonphrase:
                 continue
-            # phrase validation + phrase positions
+            # phrase validation + phrase positions: a group with phrase
+            # alternatives is satisfied by a kw alternative OR any
+            # validated phrase alternative (OR semantics, ADVICE r1)
             ok = True
-            for gid, nmem in phrase_groups.items():
-                found = False
-                for fid, slot in pm_pos[gid].items():
-                    if len(slot) < nmem:
-                        continue
-                    starts = set(slot.get(0, set()))
-                    for mi in range(1, nmem):
-                        starts = {p for p in starts if (p + mi) in slot.get(mi, set())}
-                        if not starts:
-                            break
-                    if starts:
-                        gf_pos[gid][fid].update(starts)
-                        found = True
+            for gid, pids in phrase_alts.items():
+                found = gid in matched_nonphrase
+                for pid, nmem in pids.items():
+                    for fid, slot in pm_pos[gid][pid].items():
+                        if len(slot) < nmem:
+                            continue
+                        starts = set(slot.get(0, set()))
+                        for mi in range(1, nmem):
+                            starts = {
+                                p for p in starts if (p + mi) in slot.get(mi, set())
+                            }
+                            if not starts:
+                                break
+                        if starts:
+                            gf_pos[gid][fid].update(starts)
+                            found = True
                 if not found:
                     ok = False
                     break

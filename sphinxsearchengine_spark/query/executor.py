@@ -112,8 +112,10 @@ def _expand_groups(spark, layout, query: Query, dict_pdf=None):
 
     Returns (mapping_rows, stats, buckets):
     mapping_rows = [(term, gid, idf, is_phrase_member, member_idx, fld,
-    use_exact_tf)], stats = {term: (df, hits, max_tf, exact_df,
-    exact_hits)}, buckets = postings partitions to scan.
+    use_exact_tf, pid)], stats = {term: (df, hits, max_tf, exact_df,
+    exact_hits)}, buckets = postings partitions to scan.  ``pid`` indexes
+    the phrase alternative within its group (-1 for non-phrase rows) so
+    OR groups may hold several phrases ('"a b"|"c d"').
     """
     exact_terms: set[str] = set()
     prefixes: set[str] = set()
@@ -173,13 +175,15 @@ def _expand_groups(spark, layout, query: Query, dict_pdf=None):
     nk = len(query.groups)
     mapping: list[tuple] = []
 
-    def add(term: str, gid: int, is_pm: int, midx: int, fld: int, uex: int = 0):
+    def add(term: str, gid: int, is_pm: int, midx: int, fld: int,
+            uex: int = 0, pid: int = -1):
         if term in stats:
             df_ = stats[term][3] if uex else stats[term][0]
             if df_ <= 0:
                 return
             mapping.append(
-                (term, gid, ranker.idf(df_, n_docs, nk), is_pm, midx, fld, uex)
+                (term, gid, ranker.idf(df_, n_docs, nk), is_pm, midx, fld,
+                 uex, pid)
             )
 
     def add_exact(w: str, gid: int, fld: int):
@@ -200,6 +204,7 @@ def _expand_groups(spark, layout, query: Query, dict_pdf=None):
         return cand[:EXPANSION_LIMIT]
 
     for gid, g in enumerate(query.groups):
+        pid = 0
         for a in g.alts:
             if a.kind == "kw":
                 w = a.words[0]
@@ -215,7 +220,8 @@ def _expand_groups(spark, layout, query: Query, dict_pdf=None):
                     add(t, gid, 0, -1, g.field)
             else:
                 for i, w in enumerate(a.words):
-                    add(stem_token(w), gid, 1, i, g.field)
+                    add(stem_token(w), gid, 1, i, g.field, pid=pid)
+                pid += 1
     buckets = sorted({bucket_of[m[0]] for m in mapping})
     return mapping, stats, buckets
 
@@ -227,7 +233,11 @@ def _decode_all(pr: pd.DataFrame):
     source row index and the absolute (1-based) token position.
     """
     bufs = list(pr["pos_vb"])
+    if not bufs:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     byte_lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+    if not any(byte_lens):
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     big = b"".join(bufs)
     deltas = codec.vb_decode(big).astype(np.int64)
     b_arr = np.frombuffer(big, dtype=np.uint8)
@@ -242,8 +252,9 @@ def _decode_all(pr: pd.DataFrame):
     return row_of_val, positions
 
 
-def _make_scorer(n_groups: int, phrase_groups: dict[int, int], now_ts: int,
-                 weights_by_fid: list[int], prune: dict | None = None):
+def _make_scorer(n_groups: int, phrase_alts: dict[int, dict[int, int]],
+                 now_ts: int, weights_by_fid: list[int],
+                 prune: dict | None = None):
     """Partition scorer, fully numpy-vectorized (no per-doc Python loop):
     BM25 + AND first; positions decoded in ONE batch pass only for AND
     survivors; phrase adjacency and LCS chain DP as per-group vector
@@ -259,6 +270,10 @@ def _make_scorer(n_groups: int, phrase_groups: dict[int, int], now_ts: int,
     a superset of the partition's contribution to the global top-K —
     pruning never changes results.  Single-keyword queries collapse
     entirely (lb == ub) and never decode positions.
+
+    ``phrase_alts``: gid -> {pid -> n_members} for every phrase
+    alternative; a group with BOTH kw and phrase alternatives matches a
+    doc when either side does (OR semantics, ADVICE r1 medium).
     """
     k1 = BM25_K1
     w_fid = np.asarray(weights_by_fid, dtype=np.float64)
@@ -273,27 +288,36 @@ def _make_scorer(n_groups: int, phrase_groups: dict[int, int], now_ts: int,
         fld_v = pr["field"].to_numpy()[row_of_val]
         midx_v = pr["midx"].to_numpy()[row_of_val]
         ispm_v = pr["is_pm"].to_numpy()[row_of_val]
+        pid_v = pr["pid"].to_numpy()[row_of_val]
         pairs = np.stack([docid_v, fld_v.astype(np.int64)], axis=1)
-        uniq, key_of_val = np.unique(pairs, axis=0, return_inverse=True)
+        if len(pairs):
+            uniq, key_of_val = np.unique(pairs, axis=0, return_inverse=True)
+        else:
+            uniq = np.empty((0, 2), dtype=np.int64)
+            key_of_val = np.empty(0, dtype=np.int64)
         code = (key_of_val.astype(np.int64) << _POS_BITS) | positions
-        return uniq, code, gid_v, ispm_v, midx_v, positions
+        return uniq, code, gid_v, ispm_v, midx_v, positions, pid_v
 
     def validate_phrases(dec):
-        """→ (ok: bool, starts_by_gid, matched_df[docid, field, gid])."""
-        uniq, code, gid_v, ispm_v, midx_v, positions = dec
+        """→ (starts_by_gid, matched_df[docid, field, gid]); starts are
+        the union over the group's phrase alternatives (pids)."""
+        uniq, code, gid_v, ispm_v, midx_v, positions, pid_v = dec
         starts_by_gid: dict[int, np.ndarray] = {}
         rows = []
-        for gid, nmem in phrase_groups.items():
-            sel = (gid_v == gid) & (ispm_v == 1)
-            starts = np.unique(code[sel & (midx_v == 0)])
-            for mi in range(1, nmem):
-                smi = sel & (midx_v == mi) & (positions > mi)
-                aligned = np.unique(code[smi] - mi)
-                starts = starts[np.isin(starts, aligned, assume_unique=True)]
-                if starts.size == 0:
-                    break
-            starts_by_gid[gid] = starts
-            keys = np.unique(starts >> _POS_BITS)
+        for gid, pids in phrase_alts.items():
+            g_starts = np.empty(0, dtype=np.int64)
+            for pid, nmem in pids.items():
+                sel = (gid_v == gid) & (ispm_v == 1) & (pid_v == pid)
+                starts = np.unique(code[sel & (midx_v == 0)])
+                for mi in range(1, nmem):
+                    smi = sel & (midx_v == mi) & (positions > mi)
+                    aligned = np.unique(code[smi] - mi)
+                    starts = starts[np.isin(starts, aligned, assume_unique=True)]
+                    if starts.size == 0:
+                        break
+                g_starts = np.union1d(g_starts, starts)
+            starts_by_gid[gid] = g_starts
+            keys = np.unique(g_starts >> _POS_BITS)
             rows.append(
                 pd.DataFrame(
                     {"docid": uniq[keys, 0], "field": uniq[keys, 1], "gid": gid}
@@ -306,15 +330,16 @@ def _make_scorer(n_groups: int, phrase_groups: dict[int, int], now_ts: int,
 
     def lcs_wsum(dec, starts_by_gid) -> pd.Series:
         """Weighted per-doc LCS sum via chain DP over sorted codes."""
-        uniq, code, gid_v, ispm_v, _midx_v, _positions = dec
+        uniq, code, gid_v, ispm_v, _midx_v, _positions, _pid_v = dec
         best_arr = np.zeros(len(uniq), dtype=np.int32)
         prev_codes = np.empty(0, dtype=np.int64)
         prev_lens = np.empty(0, dtype=np.int32)
         for g in range(n_groups):
-            if g in phrase_groups:
-                cur = starts_by_gid.get(g, np.empty(0, dtype=np.int64))
-            else:
-                cur = np.unique(code[(gid_v == g) & (ispm_v == 0)])
+            # group positions = kw-alternative positions ∪ phrase starts
+            cur = np.unique(code[(gid_v == g) & (ispm_v == 0)])
+            ph = starts_by_gid.get(g)
+            if ph is not None and ph.size:
+                cur = np.union1d(cur, ph)
             if cur.size == 0:
                 prev_codes = np.empty(0, dtype=np.int64)
                 prev_lens = np.empty(0, dtype=np.int32)
@@ -382,33 +407,39 @@ def _make_scorer(n_groups: int, phrase_groups: dict[int, int], now_ts: int,
         per_term["contrib"] = per_term["idf"] * per_term["tfd"] / (per_term["tfd"] + k1)
         bm25_raw = per_term.groupby("docid", sort=False)["contrib"].sum()
 
-        # --- AND matching over non-phrase groups -------------------------
-        need_np = [g for g in range(n_groups) if g not in phrase_groups]
-        if need_np:
-            dg = pdf.loc[pdf["is_pm"] == 0, ["docid", "gid"]].drop_duplicates()
-            cnt = dg.groupby("docid", sort=False).size()
-            surv = cnt[cnt == len(need_np)].index.to_numpy()
+        # --- AND matching: strict (phrase-free) groups first --------------
+        dg = pdf.loc[pdf["is_pm"] == 0, ["docid", "gid"]].drop_duplicates()
+        need_strict = [g for g in range(n_groups) if g not in phrase_alts]
+        if need_strict:
+            cnt = (
+                dg[dg["gid"].isin(need_strict)]
+                .groupby("docid", sort=False)
+                .size()
+            )
+            surv = cnt[cnt == len(need_strict)].index.to_numpy()
         else:
             surv = pdf["docid"].unique()
         if surv.size == 0:
             return
         pr = pdf[pdf["docid"].isin(surv)].reset_index(drop=True)
 
-        # --- phrase validation (decode only member rows first) -----------
+        # --- groups with phrase alternatives: kw-alt match OR any
+        # validated phrase alternative satisfies the group (OR semantics)
         starts_by_gid: dict[int, np.ndarray] = {}
         phrase_matched = None
-        if phrase_groups:
+        if phrase_alts:
             pm = pr[pr["is_pm"] == 1].reset_index(drop=True)
             dec_pm = decode_codes(pm)
             starts_by_gid, phrase_matched = validate_phrases(dec_pm)
-            per_gid_docs = [
-                set(phrase_matched.loc[phrase_matched["gid"] == g, "docid"])
-                for g in phrase_groups
-            ]
-            alive = set.intersection(*per_gid_docs) if per_gid_docs else set()
-            alive &= set(surv.tolist())
-            if not alive:
-                return
+            alive = set(surv.tolist())
+            for g in phrase_alts:
+                kw_docs = set(dg.loc[dg["gid"] == g, "docid"])
+                ph_docs = set(
+                    phrase_matched.loc[phrase_matched["gid"] == g, "docid"]
+                )
+                alive &= kw_docs | ph_docs
+                if not alive:
+                    return
             pr = pr[pr["docid"].isin(alive)].reset_index(drop=True)
 
         att = pr.drop_duplicates("docid").set_index("docid")[
@@ -458,7 +489,7 @@ def _make_scorer(n_groups: int, phrase_groups: dict[int, int], now_ts: int,
             att = att.loc[att.index.isin(keep_ids)]
 
         # --- single-keyword fast path: LCS ≡ 1 per matched field ----------
-        if n_groups == 1 and not phrase_groups:
+        if n_groups == 1 and not phrase_alts:
             nm = pr.loc[pr["is_pm"] == 0, ["docid", "field"]].drop_duplicates()
             nm["w"] = w_fid[nm["field"].to_numpy()]
             wsum = nm.groupby("docid", sort=False)["w"].sum()
@@ -469,7 +500,7 @@ def _make_scorer(n_groups: int, phrase_groups: dict[int, int], now_ts: int,
 
         # --- full positional pass (possibly on the pruned survivor set) --
         dec = decode_codes(pr)
-        if phrase_groups:
+        if phrase_alts:
             # map starts into the current decode's key space: recompute
             starts_by_gid, _pm3 = validate_phrases(dec)
         wsum = lcs_wsum(dec, starts_by_gid)
@@ -510,7 +541,8 @@ def score_matches(
     terms = sorted({m[0] for m in mapping})
     map_df = spark.createDataFrame(
         mapping,
-        "term string, gid int, idf double, is_pm int, midx int, fld int, uex int",
+        "term string, gid int, idf double, is_pm int, midx int, fld int, "
+        "uex int, pid int",
     )
 
     post = _live_union(spark, layout, "postings")
@@ -533,14 +565,16 @@ def score_matches(
     cand = post.join(F.broadcast(map_df), "term")
     cand = cand.filter((F.col("fld") == -1) | (F.col("field") == F.col("fld")))
 
-    phrase_groups = {
-        gid: len(g.alts[0].words)
-        for gid, g in enumerate(query.groups)
-        if g.alts and g.alts[0].kind == "phrase"
-    }
+    phrase_alts: dict[int, dict[int, int]] = {}
+    for gid, g in enumerate(query.groups):
+        pc = 0
+        for a in g.alts:
+            if a.kind == "phrase":
+                phrase_alts.setdefault(gid, {})[pc] = len(a.words)
+                pc += 1
     weights_by_fid = [FIELD_WEIGHTS[name] for name in FIELD_NAMES]
     scorer = _make_scorer(
-        len(query.groups), phrase_groups, now_ts, weights_by_fid, prune
+        len(query.groups), phrase_alts, now_ts, weights_by_fid, prune
     )
 
     shuffle_n = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
@@ -552,8 +586,8 @@ def score_matches(
     ).filter(F.col("tf") > 0)
     scored = (
         cand.select(
-            "docid", "term", "gid", "idf", "is_pm", "midx", "field", "tf",
-            "uex", "pos_vb", "lang", "date_insert", "date_modify",
+            "docid", "term", "gid", "idf", "is_pm", "midx", "pid", "field",
+            "tf", "uex", "pos_vb", "lang", "date_insert", "date_modify",
         )
         .repartition(shuffle_n, "docid")
         .mapInPandas(scorer, schema=SCORED_SCHEMA)

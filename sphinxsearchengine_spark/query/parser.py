@@ -50,12 +50,12 @@ class Query:
     raw: str = ""
 
 
-_UNIT_RE = re.compile(
-    r'@(?P<fld>\w+)\s+"(?P<fphrase>[^"]*)"'   # @field "phrase"
-    r'|@(?P<fld2>\w+)\s+(?P<fterm>\S+)'        # @field term
-    r'|"(?P<phrase>[^"]*)"'                    # "phrase"
-    r"|(?P<plain>\S+)"
-)
+# One unit = optional @field limit + a body of quoted spans / non-space
+# runs.  Alternation (|) binds tighter than the implicit AND between
+# units, and may mix keywords and quoted phrases — the reference emits
+# exactly that shape for category filters:
+# '@category_search "__c__"|"__d__"' (SphinxSearchEngine_class.php:98-102).
+_UNIT_RE = re.compile(r'(?:@(?P<fld>\w+)\s+)?(?P<body>(?:"[^"]*"|\S)+)')
 
 
 def _norm_word(w: str) -> list[str]:
@@ -85,25 +85,81 @@ def _atom_from_text(text: str) -> list[Atom]:
     return [Atom("kw", (words[0],))]
 
 
-def _parse_unit(unit: str, fld: int) -> list[Group]:
-    """One AND unit (may contain | alternations) -> Group(s)."""
-    groups: list[Group] = []
-    alt_sets: list[list[Atom]] = [[]]
-    for alt in unit.split("|"):
-        alt = alt.strip()
-        if not alt:
+def _split_alts(body: str) -> list[str]:
+    """Split a unit body on '|' outside quotes."""
+    alts: list[str] = []
+    cur: list[str] = []
+    inq = False
+    for ch in body:
+        if ch == '"':
+            inq = not inq
+            cur.append(ch)
+        elif ch == "|" and not inq:
+            alts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    alts.append("".join(cur))
+    return [a.strip() for a in alts if a.strip()]
+
+
+def _quoted_atom(inner: str) -> Atom | None:
+    """Atom for a quoted alternative.  A quoted single blended token
+    ('"__some_cat__"') matches the blended *whole* form — the exact-match
+    semantics the reference's category filter relies on
+    (SphinxSearchEngine_class.php:348-359 manglers + :98-102 filter)."""
+    from sphinxsearchengine_spark.text import charset
+    from sphinxsearchengine_spark.text.tokenizer import tokenize
+
+    inner = inner.strip()
+    if not inner:
+        return None
+    if " " not in inner:
+        folded = charset.fold(inner)
+        for _pos, forms in tokenize(inner):
+            for f in forms:
+                if f == folded and charset.HAS_BLEND_RE.search(f):
+                    return Atom("kw", (f,))
+    words: list[str] = []
+    for w in inner.split():
+        words.extend(_norm_word(w.strip("=*")))
+    if len(words) >= 2:
+        return Atom("phrase", tuple(words))
+    if words:
+        return Atom("kw", (words[0],))
+    return None
+
+
+def _parse_unit(body: str, fld: int) -> list[Group]:
+    """One AND unit (may contain | alternations, incl. quoted phrase
+    alternatives) -> Group(s)."""
+    raw_alts = _split_alts(body)
+    alts: list[Atom] = []
+    chain_groups: list[Group] = []
+    for alt in raw_alts:
+        if alt.startswith('"') and alt.endswith('"') and len(alt) >= 2:
+            atom = _quoted_atom(alt[1:-1])
+            if atom is not None:
+                alts.append(atom)
             continue
         atoms = _atom_from_text(alt)
         if not atoms:
             continue
         if len(atoms) == 1:
-            alt_sets[0].append(atoms[0])
+            alts.append(atoms[0])
+        elif len(raw_alts) == 1:
+            # marker-split AND-chain (e.g. 'foo_ba*' -> foo AND ba*):
+            # valid alone; emit as separate AND groups
+            chain_groups.extend(Group([a], fld) for a in atoms)
         else:
-            # multi-atom alternative (blended/prefix splits): AND-chain —
-            # only valid alone; emit as separate groups
-            groups.extend(Group([a], fld) for a in atoms)
-    if alt_sets[0]:
-        groups.insert(0, Group(alt_sets[0], fld))
+            # AND-chain inside an OR alternation: flatten to OR
+            # alternatives (documented approximation — Sphinx would nest
+            # AND inside OR, which our group model can't express)
+            alts.extend(atoms)
+    groups: list[Group] = []
+    if alts:
+        groups.append(Group(alts, fld))
+    groups.extend(chain_groups)
     return groups
 
 
@@ -116,23 +172,8 @@ def parse_query(raw: str) -> Query:
         return Query(blank=True, raw=raw)
     q = Query(raw=raw)
     for m in _UNIT_RE.finditer(s):
-        if m.group("fphrase") is not None or m.group("phrase") is not None:
-            txt = m.group("fphrase") if m.group("fphrase") is not None else m.group("phrase")
-            fld = FIELDS.get(m.group("fld"), -1) if m.group("fld") else -1
-            words: list[str] = []
-            for w in txt.split():
-                words.extend(_norm_word(w.strip("=*")))
-            if len(words) >= 2:
-                q.groups.append(Group([Atom("phrase", tuple(words))], fld))
-            elif words:
-                q.groups.append(Group([Atom("kw", (words[0],))], fld))
-        elif m.group("fterm") is not None:
-            fld = FIELDS.get(m.group("fld2"), -1)
-            for g in _parse_unit(m.group("fterm"), fld):
-                q.groups.append(g)
-        else:
-            for g in _parse_unit(m.group("plain"), -1):
-                q.groups.append(g)
+        fld = FIELDS.get(m.group("fld"), -1) if m.group("fld") else -1
+        q.groups.extend(_parse_unit(m.group("body"), fld))
     if not q.groups:
         q.blank = True
     return q

@@ -41,10 +41,18 @@ from sphinxsearchengine_spark.config import (
 
 
 def idf(df: int, n_docs: int, n_keywords: int) -> float:
-    """Sphinx normalized idf, pre-divided by query keyword count."""
+    """Sphinx normalized idf, pre-divided by query keyword count.
+
+    Clamped at 0 (Sphinx floors negative idf): segment-summed df can
+    exceed live n_docs between compactions (dead copies counted), and
+    without the clamp the log argument goes non-positive and raises.
+    """
     if df <= 0 or n_docs <= 0:
         return 0.0
-    raw = math.log((n_docs - df + 1) / df) / (2.0 * math.log(n_docs + 1))
+    x = (n_docs - df + 1) / df
+    if x <= 1.0:
+        return 0.0
+    raw = math.log(x) / (2.0 * math.log(n_docs + 1))
     return raw / max(n_keywords, 1)
 
 

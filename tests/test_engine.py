@@ -35,6 +35,10 @@ QUERIES = [
     dict(query="hotterm"),
     dict(query="needleuniq"),
     dict(query='"alpha beta"'),
+    dict(query='merge|"alpha beta"'),          # kw OR phrase (ADVICE r1)
+    dict(query='"alpha beta"|"index search"'),  # phrase OR phrase
+    dict(query='hotterm|"alpha beta" engine'),  # mixed OR + AND unit
+    dict(query='@category_search "__python__"|"__go__"'),  # reference category filter shape
     dict(query="=running"),
     dict(query="=search"),  # stem-identical surface → exact_tf row path
     dict(query="=search =running index"),
