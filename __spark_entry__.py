@@ -46,16 +46,38 @@ def _tokens_df(spark, sf_dir) -> DataFrame:
 # flagship: documents -> engine corpus -> index build -> BM25 search
 # --------------------------------------------------------------------------
 
-def _docs_as_corpus(spark, sf_dir):
-    """Adapt the driver `documents` table to the engine corpus shape
+def _corpus_shape(d: DataFrame) -> DataFrame:
+    """Driver `documents` rows -> engine corpus shape
     (BASELINE.json input_hint: repo, path, commit, lang, content)."""
-    return _t(spark, sf_dir, "documents").select(
+    return d.select(
         F.col("source").alias("repo"),
         F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
         F.sha2(F.col("text"), 256).substr(1, 40).alias("commit"),
         F.col("lang"),
         F.col("text").alias("content"),
     )
+
+
+def _docs_as_corpus(spark, sf_dir):
+    return _corpus_shape(_t(spark, sf_dir, "documents"))
+
+
+# One shared engine index per sf_dir: the engine_* gate entries are all
+# read-only over it, so the (expensive) build runs once per gate pass.
+_GATE_IDX: dict[str, str] = {}
+
+
+def _gate_index(spark, sf) -> str:
+    if sf not in _GATE_IDX:
+        from sphinxsearchengine_spark.config import EngineConfig
+        from sphinxsearchengine_spark.corpus import derive_documents
+        from sphinxsearchengine_spark.index.builder import build_index
+
+        docs = derive_documents(_docs_as_corpus(spark, sf))
+        idx = os.path.join(tempfile.mkdtemp(prefix="sse_gate_"), "idx")
+        build_index(spark, docs, idx, EngineConfig(term_buckets=8), salt_factor=2)
+        _GATE_IDX[sf] = idx
+    return _GATE_IDX[sf]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -419,17 +441,125 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_topk"] = ann_lsh_topk
 
     def engine_search(spark, sf):  # rows-only: the full stemmed engine
-        from sphinxsearchengine_spark.config import EngineConfig
-        from sphinxsearchengine_spark.corpus import PINNED_NOW, derive_documents
-        from sphinxsearchengine_spark.index.builder import build_index
+        from sphinxsearchengine_spark.corpus import PINNED_NOW
         from sphinxsearchengine_spark.query.executor import search
 
-        docs = derive_documents(_docs_as_corpus(spark, sf))
-        idx = os.path.join(tempfile.mkdtemp(prefix="sse_gate_"), "idx")
-        build_index(spark, docs, idx, EngineConfig(term_buckets=8), salt_factor=2)
+        idx = _gate_index(spark, sf)
         res = search(spark, idx, "spark join", limit=20, now_ts=PINNED_NOW)
         return res.select("rank", "docid", F.round("score", 6).alias("score"), "path")
     q["engine_search"] = engine_search
+
+    def engine_meta(spark, sf):  # rows-only: Q11 total + Q12 keyword stats
+        from sphinxsearchengine_spark.corpus import PINNED_NOW
+        from sphinxsearchengine_spark.query.executor import search_with_meta
+
+        idx = _gate_index(spark, sf)
+        _res, meta = search_with_meta(
+            spark, idx, "spark join", limit=10, now_ts=PINNED_NOW
+        )
+        rows = [("__total__", meta["total"], meta["total"])] + [
+            (k["keyword"], k["docs"], k["hits"]) for k in meta["keywords"]
+        ]
+        return spark.createDataFrame(rows, "keyword string, docs long, hits long")
+    q["engine_meta"] = engine_meta
+
+    def engine_snippets(spark, sf):  # rows-only: Q16 excerpts
+        from sphinxsearchengine_spark.corpus import PINNED_NOW
+        from sphinxsearchengine_spark.query.executor import live_docs, search
+        from sphinxsearchengine_spark.query.snippets import with_snippets
+
+        idx = _gate_index(spark, sf)
+        res = search(spark, idx, "spark join", limit=5, now_ts=PINNED_NOW)
+        full = res.join(live_docs(spark, idx).select("docid", "content"), "docid")
+        return (
+            with_snippets(full, "spark join", text_col="content")
+            .select("rank", "docid", "snippet")
+            .orderBy("rank")
+        )
+    q["engine_snippets"] = engine_snippets
+
+    def engine_suggest(spark, sf):  # rows-only: Q17 did-you-mean
+        from sphinxsearchengine_spark.query.suggest import did_you_mean
+
+        idx = _gate_index(spark, sf)
+        rows = [
+            (raw, did_you_mean(spark, idx, raw) or "")
+            for raw in ["sparkk join", "mergge", "spark join"]
+        ]
+        return spark.createDataFrame(rows, "query string, suggestion string")
+    q["engine_suggest"] = engine_suggest
+
+    def engine_category(spark, sf):  # rows-only: category filter + Q14 weight
+        from sphinxsearchengine_spark.corpus import PINNED_NOW
+        from sphinxsearchengine_spark.query.executor import search
+
+        idx = _gate_index(spark, sf)
+        res = search(
+            spark, idx, "spark join", limit=10, now_ts=PINNED_NOW,
+            categories=["en", "de"],
+        )
+        return res.select(
+            "rank", "docid", F.round("score", 6).alias("score"), "lang"
+        )
+    q["engine_category"] = engine_category
+
+    def engine_facet(spark, sf):  # rows-only: Q13 facet through the engine
+        from sphinxsearchengine_spark.corpus import PINNED_NOW
+        from sphinxsearchengine_spark.query.facets import category_facet
+
+        idx = _gate_index(spark, sf)
+        return category_facet(spark, idx, "spark join", now_ts=PINNED_NOW)
+    q["engine_facet"] = engine_facet
+
+    def engine_lifecycle(spark, sf):  # rows-only: S3/S4/S6 visibility
+        from sphinxsearchengine_spark.config import EngineConfig
+        from sphinxsearchengine_spark.corpus import PINNED_NOW, derive_documents
+        from sphinxsearchengine_spark.index import lifecycle as lc
+        from sphinxsearchengine_spark.index.builder import build_index
+        from sphinxsearchengine_spark.query.executor import search
+
+        cfg = EngineConfig(term_buckets=4)
+        base = _t(spark, sf, "documents").filter(F.col("doc_id") < 250)
+        docs = derive_documents(_corpus_shape(base))
+        idx = os.path.join(tempfile.mkdtemp(prefix="sse_lc_"), "idx")
+        build_index(spark, docs, idx, cfg, salt_factor=1)
+
+        def snap(phase):
+            # materialize NOW: later lifecycle mutations invalidate the
+            # files a lazy plan captured (immutable-segment layout)
+            res = search(spark, idx, "spark join", limit=10, now_ts=PINNED_NOW)
+            return [
+                (phase, int(r.rank), int(r.docid), round(float(r.score), 6))
+                for r in res.collect()
+            ]
+
+        rows = snap("1_built")
+        top_docid = rows[0][2]
+        # S3 upsert: retitle the lowest-docid doc so it must take rank 1
+        # in phase 2 (title weight 20 dominates); docid is carried through
+        # unchanged, only the indexed fields move.
+        upd = (
+            docs.orderBy("docid").limit(1)
+            .withColumn("path", F.lit("spark join upserted"))
+            .withColumn(
+                "content",
+                F.concat(F.lit("spark join spark join spark join "),
+                         F.col("content")),
+            )
+            .withColumn("content_sha", F.sha2("content", 256))
+        )
+        lc.upsert(spark, idx, upd, cfg)
+        rows += snap("2_upserted")
+        # S4 delete: kill the pre-upsert top hit
+        lc.delete(spark, idx, [top_docid])
+        rows += snap("3_deleted")
+        # S6 compact: match set must be phase-3 identical (fresh stats)
+        lc.compact(spark, idx, cfg)
+        rows += snap("4_compacted")
+        return spark.createDataFrame(
+            rows, "phase string, rank int, docid long, score double"
+        )
+    q["engine_lifecycle"] = engine_lifecycle
 
     return q
 

@@ -23,7 +23,10 @@ def vb_encode(values: np.ndarray) -> bytes:
     if arr.size == 0:
         return b""
     nbytes = np.ones(arr.size, dtype=np.int64)
+    mx = arr.max()
     for t in _THRESHOLDS:
+        if mx < t:
+            break
         nbytes += arr >= t
     ends = np.cumsum(nbytes)
     out = np.zeros(int(ends[-1]), dtype=np.uint8)

@@ -51,18 +51,10 @@ from sphinxsearchengine_spark.index.layout import (
 _FIELD_SOURCE = {"text": "content", "title": "path", "category_search": "category_search"}
 
 
-def _tokenize_batch(pdf_iter):
-    """Arrow-batch tokenizer: documents -> postings rows.
-
-    Exact-word dual indexing (sphinx.conf:19) is row-merged: a surface
-    form whose stem equals itself increments the stem row's ``exact_tf``
-    instead of emitting a second '=surface' row; only stem-changing
-    surfaces get their own '=surface' row.  This cuts postings volume
-    ~25-40% with identical query semantics.
-
-    Python-level work is bounded by *unique tokens* per batch (stemming is
-    lru-cached); the per-doc loop only builds postings dicts.
-    """
+def _tokenize_batch_ref(pdf_iter):
+    """Reference-semantics tokenizer twin (per-row loop).  Kept ONLY as
+    the equality oracle for tests/test_builder_vectorized.py — the
+    production path below must emit the identical row set."""
     from sphinxsearchengine_spark.text.tokenizer import tokenize, stem_token
     from sphinxsearchengine_spark.config import EXACT_PREFIX
 
@@ -114,6 +106,229 @@ def _tokenize_batch(pdf_iter):
                 "lang": out_lang,
                 "date_insert": pd.array(out_di, dtype="int64"),
                 "date_modify": pd.array(out_dm, dtype="int64"),
+            }
+        )
+
+
+# Emission cache: primary token -> (n_parts, [(pos_offset, term, etf)]).
+# The mapping "primary token -> emitted (offset, term, exact_tf) tuples"
+# depends only on the token string, so it is computed once per UNIQUE
+# token (worker-lifetime cache, like the stem lru_cache) and the per-
+# occurrence work below is pure numpy.
+_EMIT_CACHE: dict[str, tuple] = {}
+_EMIT_CACHE_CAP = 1 << 20
+
+
+def _emission_table(uniq_toks):
+    """Per unique primary token: advance width + flattened emissions.
+
+    Returns (n_adv, estart, ecount, eoffs, etids, eetfs, term_pool):
+    token i advances the position counter by n_adv[i] and emits
+    ecount[i] postings rows described by the flat arrays at
+    [estart[i], estart[i]+ecount[i]): position offset, term id into
+    term_pool, exact_tf contribution.
+    """
+    import numpy as np
+
+    from sphinxsearchengine_spark.config import EXACT_PREFIX
+    from sphinxsearchengine_spark.text import charset
+    from sphinxsearchengine_spark.text.tokenizer import stem_token, tokenize
+
+    n = len(uniq_toks)
+    n_adv = np.empty(n, dtype=np.int64)
+    estart = np.empty(n, dtype=np.int64)
+    ecount = np.empty(n, dtype=np.int64)
+    offs: list[int] = []
+    tids: list[int] = []
+    etfs: list[int] = []
+    term_ids: dict[str, int] = {}
+    pool: list[str] = []
+    for i, tok in enumerate(uniq_toks):
+        ent = _EMIT_CACHE.get(tok)
+        if ent is None:
+            # fold here, per UNIQUE token (input spans were matched with
+            # the unfolded class — same span structure, see charset.py)
+            ftok = tok.translate(charset.FOLD_TABLE)
+            parts = [p for p in charset.BLEND_SPLIT_RE.split(ftok) if p]
+            ems: list[tuple] = []
+            for pos, forms in tokenize(ftok):
+                seen: set[str] = set()
+                for raw in forms:
+                    stem = stem_token(raw)
+                    if stem not in seen:
+                        seen.add(stem)
+                        ems.append((pos - 1, stem, 1 if raw == stem else 0))
+                    if stem != raw:
+                        ex = EXACT_PREFIX + raw
+                        if ex not in seen:
+                            seen.add(ex)
+                            ems.append((pos - 1, ex, 1))
+            ent = (len(parts), tuple(ems))
+            if len(_EMIT_CACHE) < _EMIT_CACHE_CAP:
+                _EMIT_CACHE[tok] = ent
+        n_adv[i] = ent[0]
+        estart[i] = len(offs)
+        ecount[i] = len(ent[1])
+        for off, t, e in ent[1]:
+            tid = term_ids.get(t)
+            if tid is None:
+                tid = len(pool)
+                term_ids[t] = tid
+                pool.append(t)
+            offs.append(off)
+            tids.append(tid)
+            etfs.append(e)
+    import numpy as _np
+
+    return (
+        n_adv, estart, ecount,
+        _np.asarray(offs, dtype=_np.int64),
+        _np.asarray(tids, dtype=_np.int64),
+        _np.asarray(etfs, dtype=_np.int64),
+        _np.asarray(pool, dtype=object),
+    )
+
+
+def _field_postings(texts, docids, langs, dis, dms, fid):
+    """Vectorized postings for one field over an Arrow batch.
+
+    Per-occurrence and per-posting work is numpy (segmented cumsum for
+    positions, one lexsort for (doc, term) grouping, one batch varbyte
+    encode); Python loops touch only unique tokens (emission table) and
+    group-boundary byte slicing.
+    """
+    import numpy as np
+
+    from sphinxsearchengine_spark.text import charset
+
+    # match UNFOLDED token spans (identical span structure; folding
+    # happens once per unique token inside the emission table)
+    findall = charset.PRIMARY_TOKEN_UNFOLDED_RE.findall
+    tok_lists = [findall(t) if t else [] for t in texts]
+    counts = np.fromiter((len(x) for x in tok_lists), np.int64, len(tok_lists))
+    n_occ = int(counts.sum())
+    empty = {
+        "term": np.empty(0, object), "field": np.empty(0, np.int32),
+        "docid": np.empty(0, np.int64), "tf": np.empty(0, np.int32),
+        "exact_tf": np.empty(0, np.int32), "pos_vb": [],
+        "lang": np.empty(0, object), "date_insert": np.empty(0, np.int64),
+        "date_modify": np.empty(0, np.int64),
+    }
+    if n_occ == 0:
+        return empty
+    from itertools import chain
+
+    prim = np.asarray(list(chain.from_iterable(tok_lists)), dtype=object)
+    doc_of_occ = np.repeat(np.arange(len(tok_lists)), counts)
+    # hash-based factorize beats np.unique's string argsort by ~5x here
+    inv, uniq = pd.factorize(prim, sort=False)
+    n_adv, estart, ecount, eoffs, etids, eetfs, pool = _emission_table(uniq)
+
+    # base position of each occurrence: segmented exclusive cumsum of the
+    # per-token advance widths
+    adv = n_adv[inv]
+    g = np.cumsum(adv) - adv
+    doc_start = np.cumsum(counts) - counts
+    # clip: a trailing zero-token doc's start index == n_occ (repeated 0×)
+    base = g - np.repeat(g[np.minimum(doc_start, n_occ - 1)], counts)
+
+    # expand occurrences into emissions (ragged -> flat, no Python loop)
+    e = ecount[inv]
+    tot = int(e.sum())
+    if tot == 0:
+        return empty
+    occ_of_emit = np.repeat(np.arange(n_occ), e)
+    first = np.repeat(np.cumsum(e) - e, e)
+    k = np.arange(tot) - first
+    flat = estart[inv][occ_of_emit] + k
+    tid_v = etids[flat]
+    pos_v = base[occ_of_emit] + eoffs[flat] + 1
+    etf_v = eetfs[flat]
+    doc_v = doc_of_occ[occ_of_emit]
+
+    # group by (doc, term); positions ascend within each group
+    order = np.lexsort((pos_v, tid_v, doc_v))
+    d_s, t_s, p_s, e_s = doc_v[order], tid_v[order], pos_v[order], etf_v[order]
+    newgrp = np.empty(tot, dtype=bool)
+    newgrp[0] = True
+    newgrp[1:] = (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])
+    starts = np.flatnonzero(newgrp)
+    glens = np.diff(np.append(starts, tot))
+
+    # delta + varbyte encode ALL position lists in one pass, then slice
+    deltas = p_s.copy()
+    deltas[1:] -= p_s[:-1]
+    deltas[starts] = p_s[starts]
+    ud = deltas.astype(np.uint64)
+    blob = codec.vb_encode(ud)
+    nb = np.ones(tot, dtype=np.int64)
+    mx = int(ud.max())
+    for thr in codec._THRESHOLDS:
+        if mx < thr:
+            break
+        nb += ud >= thr
+    bends = np.cumsum(nb)
+    gb_end = bends[starts + glens - 1]
+    gb_len = np.add.reduceat(nb, starts)
+    gb_start = gb_end - gb_len
+    pos_vb = [blob[a:b] for a, b in zip(gb_start.tolist(), gb_end.tolist())]
+
+    gdoc = d_s[starts]
+    return {
+        "term": pool[t_s[starts]],
+        "field": np.full(len(starts), fid, dtype=np.int32),
+        "docid": docids[gdoc],
+        "tf": glens.astype(np.int32),
+        "exact_tf": np.add.reduceat(e_s, starts).astype(np.int32),
+        "pos_vb": pos_vb,
+        "lang": langs[gdoc],
+        "date_insert": dis[gdoc],
+        "date_modify": dms[gdoc],
+    }
+
+
+def _tokenize_batch(pdf_iter):
+    """Arrow-batch tokenizer: documents -> postings rows (vectorized).
+
+    Same contract as the reference twin above (exact-word dual indexing
+    row-merged per sphinx.conf:19; tests assert bit-identical output);
+    Python-level work is bounded by *unique primary tokens* per worker —
+    the per-occurrence pipeline is numpy throughout, per BASELINE.json
+    input_hint ("no per-row Python").
+    """
+    import numpy as np
+
+    for pdf in pdf_iter:
+        docids = pdf["docid"].to_numpy(dtype=np.int64)
+        langs = pdf["lang"].to_numpy(dtype=object)
+        dis = pdf["date_insert"].to_numpy(dtype=np.int64)
+        dms = pdf["date_modify"].to_numpy(dtype=np.int64)
+        cols = {k: [] for k in (
+            "term", "field", "docid", "tf", "exact_tf", "pos_vb", "lang",
+            "date_insert", "date_modify",
+        )}
+        for fname in FIELD_NAMES:
+            texts = pdf[_FIELD_SOURCE[fname]].tolist()
+            part = _field_postings(texts, docids, langs, dis, dms, FIELDS[fname])
+            for kcol in cols:
+                cols[kcol].append(part[kcol])
+        out = {}
+        for kcol, chunks in cols.items():
+            if kcol == "pos_vb":
+                out[kcol] = [b for chunk in chunks for b in chunk]
+            else:
+                out[kcol] = np.concatenate(chunks)
+        yield pd.DataFrame(
+            {
+                "term": out["term"],
+                "field": pd.array(out["field"], dtype="int32"),
+                "docid": pd.array(out["docid"], dtype="int64"),
+                "tf": pd.array(out["tf"], dtype="int32"),
+                "exact_tf": pd.array(out["exact_tf"], dtype="int32"),
+                "pos_vb": out["pos_vb"],
+                "lang": out["lang"],
+                "date_insert": pd.array(out["date_insert"], dtype="int64"),
+                "date_modify": pd.array(out["date_modify"], dtype="int64"),
             }
         )
 

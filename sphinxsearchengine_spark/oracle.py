@@ -145,12 +145,20 @@ class OracleEngine:
         return mapping
 
     def score_matches(
-        self, query: Query | str, langs=None, now_ts: int = 0
+        self, query: Query | str, langs=None, now_ts: int = 0,
+        categories: list[str] | None = None,
     ) -> list[dict]:
         if isinstance(query, str):
             query = parse_query(query)
         if query.blank or not query.groups:
             return []
+        max_score_val = None
+        if categories:
+            from sphinxsearchengine_spark.query.parser import with_categories
+
+            base_n = len(query.groups)
+            query = with_categories(query, categories)
+            max_score_val = ranker.max_score(base_n, n_categories=len(categories))
         n_groups = len(query.groups)
         mapping = self._mapping(query)
         if {m[1] for m in mapping} != set(range(n_groups)):
@@ -163,6 +171,10 @@ class OracleEngine:
                     phrase_alts.setdefault(gid, {})[pc] = len(a.words)
                     pc += 1
         weights_by_fid = [FIELD_WEIGHTS[n] for n in FIELD_NAMES]
+        ms_norm = (
+            max_score_val if max_score_val is not None
+            else ranker.max_score(n_groups)
+        )
 
         # candidate docs
         cand: set[int] = set()
@@ -251,7 +263,7 @@ class OracleEngine:
                 {
                     "docid": docid,
                     "weight_raw": raw,
-                    "score": raw / ranker.max_score(n_groups),
+                    "score": raw / ms_norm,
                     "bm25": bm,
                     "prox": prox,
                     "fresh": fresh,
@@ -271,9 +283,10 @@ class OracleEngine:
         order_by: str = "weight",
         sort: str = "desc",
         now_ts: int = 0,
+        categories: list[str] | None = None,
     ) -> list[dict]:
         limit = min(limit, MATCH_CAP)
-        res = self.score_matches(query, langs, now_ts)
+        res = self.score_matches(query, langs, now_ts, categories)
         key = {"weight": "weight_raw", "date_insert": "date_insert",
                "date_modify": "date_modify"}.get(order_by, "weight_raw")
         rev = sort == "desc"

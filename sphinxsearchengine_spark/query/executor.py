@@ -254,7 +254,8 @@ def _decode_all(pr: pd.DataFrame):
 
 def _make_scorer(n_groups: int, phrase_alts: dict[int, dict[int, int]],
                  now_ts: int, weights_by_fid: list[int],
-                 prune: dict | None = None):
+                 prune: dict | None = None,
+                 max_score_val: float | None = None):
     """Partition scorer, fully numpy-vectorized (no per-doc Python loop):
     BM25 + AND first; positions decoded in ONE batch pass only for AND
     survivors; phrase adjacency and LCS chain DP as per-group vector
@@ -278,6 +279,7 @@ def _make_scorer(n_groups: int, phrase_alts: dict[int, dict[int, int]],
     k1 = BM25_K1
     w_fid = np.asarray(weights_by_fid, dtype=np.float64)
     mls = float(ranker.max_lcs(n_groups))
+    ms_norm = max_score_val if max_score_val is not None else ranker.max_score(n_groups)
     from sphinxsearchengine_spark.config import PROXIMITY_SCALE
 
     def decode_codes(pr: pd.DataFrame):
@@ -378,7 +380,7 @@ def _make_scorer(n_groups: int, phrase_alts: dict[int, dict[int, int]],
             {
                 "docid": out.index.to_numpy(),
                 "weight_raw": raw_w,
-                "score": raw_w / ranker.max_score(n_groups),
+                "score": raw_w / ms_norm,
                 "bm25": bm,
                 "prox": prox,
                 "fresh": fresh,
@@ -519,14 +521,26 @@ def score_matches(
     now_ts: int = 0,
     prune: dict | None = None,
     _ctx: dict | None = None,
+    categories: list[str] | None = None,
 ) -> DataFrame:
     """Match + score all documents for `query`; returns the scored set
-    (docid, weight_raw, score, …) BEFORE ordering/limit."""
+    (docid, weight_raw, score, …) BEFORE ordering/limit.
+
+    ``categories`` appends the reference's '@category_search "__a__"|…'
+    filter group and widens maxScore by the category weight per selected
+    category (SphinxSearchEngine_class.php:98-102, 284-303)."""
     if isinstance(query, str):
         query = parse_query(query)
     layout = IndexLayout(index_dir)
     if query.blank or not query.groups:
         return spark.createDataFrame([], SCORED_SCHEMA)
+    max_score_val = None
+    if categories:
+        from sphinxsearchengine_spark.query.parser import with_categories
+
+        base_n = len(query.groups)
+        query = with_categories(query, categories)
+        max_score_val = ranker.max_score(base_n, n_categories=len(categories))
 
     meta = layout.meta
     dict_pdf = _ctx.get("dict_pdf") if _ctx else None
@@ -574,7 +588,8 @@ def score_matches(
                 pc += 1
     weights_by_fid = [FIELD_WEIGHTS[name] for name in FIELD_NAMES]
     scorer = _make_scorer(
-        len(query.groups), phrase_alts, now_ts, weights_by_fid, prune
+        len(query.groups), phrase_alts, now_ts, weights_by_fid, prune,
+        max_score_val,
     )
 
     shuffle_n = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
@@ -609,6 +624,7 @@ def search(
     order_by: str = "weight",
     sort: str = "desc",
     now_ts: int = 0,
+    categories: list[str] | None = None,
     _ctx: dict | None = None,
     _scored: DataFrame | None = None,
 ) -> DataFrame:
@@ -627,7 +643,8 @@ def search(
             "sort": "desc" if sort == "desc" else "asc",
         }
         scored = score_matches(
-            spark, index_dir, query, langs, now_ts, prune=prune, _ctx=_ctx
+            spark, index_dir, query, langs, now_ts, prune=prune, _ctx=_ctx,
+            categories=categories,
         )
     col = _ORDER_COLS.get(order_by, "weight_raw")
     ordc = F.col(col).desc() if sort == "desc" else F.col(col).asc()
@@ -664,7 +681,8 @@ def search_with_meta(spark, index_dir, query, _ctx=None, **kw):
     if query.blank or not query.groups:
         return search(spark, index_dir, query, _ctx=_ctx, **kw), meta
     scored = score_matches(
-        spark, index_dir, query, kw.get("langs"), kw.get("now_ts", 0), _ctx=_ctx
+        spark, index_dir, query, kw.get("langs"), kw.get("now_ts", 0),
+        _ctx=_ctx, categories=kw.get("categories"),
     ).cache()
     try:
         meta["total"] = scored.count()

@@ -163,6 +163,30 @@ def _parse_unit(body: str, fld: int) -> list[Group]:
     return groups
 
 
+def with_categories(query: Query | str, categories: list[str]) -> Query:
+    """Append the reference's category filter: selected categories become
+    one extra AND group '@category_search "__a__"|"__b__"' of mangled
+    exact-match tokens (SphinxSearchEngine_class.php:98-102, mangling
+    :348-359).  Returns a new Query; the input is not mutated."""
+    from sphinxsearchengine_spark.text.tokenizer import mangle_category
+
+    q = parse_query(query) if isinstance(query, str) else query
+    if q.blank or not categories:
+        return q
+    alts = []
+    for c in categories:
+        atom = _quoted_atom(mangle_category(c))
+        if atom is not None:
+            alts.append(atom)
+    if not alts:
+        return q
+    return Query(
+        groups=list(q.groups) + [Group(alts, FIELDS["category_search"])],
+        blank=q.blank,
+        raw=q.raw,
+    )
+
+
 def parse_query(raw: str) -> Query:
     """Sanitize (T8) + parse into AND-of-OR groups."""
     if is_blank_query(raw):

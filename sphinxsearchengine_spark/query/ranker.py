@@ -80,10 +80,16 @@ def proximity_score(weighted_lcs_sum: float, n_keywords: int,
     return weighted_lcs_sum / max_lcs(n_keywords, weights) * PROXIMITY_SCALE
 
 
-def max_score(n_keywords: int, weights: dict[str, int] | None = None) -> float:
-    """Q14 normalizer (SphinxSearchEngine_class.php:284-303)."""
+def max_score(n_keywords: int, weights: dict[str, int] | None = None,
+              n_categories: int = 0) -> float:
+    """Q14 normalizer (SphinxSearchEngine_class.php:284-303).
+
+    ``n_keywords`` counts the *user* keywords (the reference regexes the
+    raw term, :289); each selected category adds the category field
+    weight once (:298-301)."""
     w = weights or FIELD_WEIGHTS
-    return max(n_keywords, 1) * sum(w.values()) * 1000 + 999
+    base = max(n_keywords, 1) * sum(w.values()) * 1000 + 999
+    return base + w.get("category_search", 0) * n_categories
 
 
 def lcs_of_field(group_positions: dict[int, list[int]], n_groups: int) -> int:

@@ -31,6 +31,15 @@ BLEND_CLASS = re.escape("_-&+@$")
 PRIMARY_TOKEN_RE = re.compile(
     f"[{TOKEN_CLASS}{BLEND_CLASS}]*[{TOKEN_CLASS}][{TOKEN_CLASS}{BLEND_CLASS}]*"
 )
+# Pre-fold variant: folding only maps token chars to token chars
+# (A..Z->a..z, А..Я->а..я), so matching the unfolded class yields the SAME
+# spans as fold-then-match — lets bulk pipelines fold per unique token
+# instead of per character of input.
+TOKEN_CLASS_UNFOLDED = "0-9a-zA-Zа-яА-Я"
+PRIMARY_TOKEN_UNFOLDED_RE = re.compile(
+    f"[{TOKEN_CLASS_UNFOLDED}{BLEND_CLASS}]*[{TOKEN_CLASS_UNFOLDED}]"
+    f"[{TOKEN_CLASS_UNFOLDED}{BLEND_CLASS}]*"
+)
 # Split a blended token into its parts.
 BLEND_SPLIT_RE = re.compile(f"[{BLEND_CLASS}]+")
 # Any blend char (to test whether a token is blended).

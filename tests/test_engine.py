@@ -46,6 +46,8 @@ QUERIES = [
     dict(query="searches | merge"),
     dict(query="поиск"),
     dict(query="engine", langs=["python", "go"]),
+    dict(query="engine", categories=["python", "go"]),     # Q14 + category group
+    dict(query="index search", categories=["org0/repo1"]),  # repo category (multi-part mangle)
     dict(query="index", order_by="date_insert", sort="asc"),
     dict(query="index", order_by="date_modify", sort="desc"),
     dict(query="engine", offset=5, limit=10),
