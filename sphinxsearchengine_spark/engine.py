@@ -74,6 +74,25 @@ class Searcher:
                 .sort_values("term")
                 .reset_index(drop=True)
             )
+        # pin the block-max table too (same searchd-RAM-wordlist analog):
+        # warm queries then plan block skipping in driver pandas with zero
+        # extra Spark jobs.  Degrades to the distributed planner when the
+        # table outgrows the cap or the index predates blockmax.
+        self._blockmax_pdf: pd.DataFrame | None = None
+        if dict_cache_rows:
+            try:
+                bmx = X._live_union(spark, self.layout, "blockmax")
+                agg = bmx.groupBy("term", "blk").agg(
+                    F.sum("n").alias("n"),
+                    F.max("max_tf").alias("max_tf"),
+                    F.max("max_etf").alias("max_etf"),
+                    F.expr("bit_or(fmask)").alias("fmask"),
+                    F.max("max_dsum").alias("max_dsum"),
+                )
+                if agg.count() <= 4 * dict_cache_rows:
+                    self._blockmax_pdf = agg.toPandas()
+            except Exception:
+                self._blockmax_pdf = None
         if cache_docs:
             self._docs_cached = X.live_docs(spark, index_dir).cache()
             self._docs_cached.count()
@@ -83,6 +102,7 @@ class Searcher:
         return {
             "dict_pdf": self._dict_pdf,
             "docs_df": self._docs_cached,
+            "blockmax_pdf": self._blockmax_pdf,
         }
 
     def search(self, query: Query | str, **kw) -> DataFrame:

@@ -363,6 +363,18 @@ class _split_hint:
         self.spark.conf.set("spark.sql.files.openCostInBytes", self.old_open)
 
 
+def block_shift_for(n_docs: int) -> int:
+    """Docid-block width so one block holds ~POSTINGS_BLOCK docs.
+
+    Docids are xxhash64 values, uniform over the 64-bit space, so the
+    top (64 - shift) bits partition docs evenly; the SAME shift is used
+    by every segment of one index so blocks align across segments."""
+    from sphinxsearchengine_spark.config import POSTINGS_BLOCK
+
+    bits = max(1, (max(n_docs, 1) // POSTINGS_BLOCK).bit_length())
+    return min(max(64 - bits, 0), 63)
+
+
 def _manifest_load(path: str) -> dict:
     if os.path.exists(path):
         with open(path) as f:
@@ -386,6 +398,7 @@ def build_segment(
     cfg: EngineConfig,
     salt_factor: int = 4,
     preprocess=None,
+    block_shift: int | None = None,
 ) -> dict:
     """Tokenize + write one immutable segment; resumable per stage.
 
@@ -464,21 +477,61 @@ def build_segment(
             )
         mark("postings", path=layout.postings(seg), salt_factor=salt_factor)
 
-    if not done("dict"):
+    if block_shift is None:
+        block_shift = stages.get("blockmax", {}).get("block_shift")
+    if block_shift is None:
+        block_shift = block_shift_for(stages["docs"]["n_docs"])
+
+    if not done("blockmax"):
+        # Per-block max-score metadata (the north rule's block-max WAND
+        # substrate): one row per (term, 128-docid block) with doc count,
+        # tf/exact-tf bounds, per-field presence mask and freshness bound.
+        # The query planner prunes whole blocks from the postings scan
+        # before any positional work (query/executor._plan_blocks).
         with _split_hint(spark, layout.postings(seg), parallelism * 2):
             post = spark.read.parquet(layout.postings(seg))
-            # Two-level agg: exact per-doc tf first, then per-term stats —
-            # df counts documents (not doc×field pairs), max_tf bounds the
-            # whole-doc tf for MaxScore/WAND pruning.
             per_doc = post.groupBy("bucket", "term", "docid").agg(
-                F.sum("tf").alias("tfd"), F.sum("exact_tf").alias("etfd")
+                F.sum("tf").alias("tfd"),
+                F.sum("exact_tf").alias("etfd"),
+                F.expr("bit_or(shiftleft(1, field))").alias("fmask"),
+                F.max(F.col("date_insert") + F.col("date_modify")).alias("dsum"),
             )
-            dic = per_doc.groupBy("bucket", "term").agg(
-                F.count(F.lit(1)).alias("df"),
-                F.sum("tfd").alias("hits"),
-                F.max("tfd").alias("max_tf"),
-                F.count_if(F.col("etfd") > 0).alias("exact_df"),
-                F.sum("etfd").alias("exact_hits"),
+            bmx = (
+                per_doc.withColumn(
+                    "blk", F.expr(f"shiftrightunsigned(docid, {block_shift})")
+                )
+                .groupBy("bucket", "term", "blk")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("tfd").alias("hits"),
+                    F.max("tfd").alias("max_tf"),
+                    F.count_if(F.col("etfd") > 0).alias("n_exact"),
+                    F.sum("etfd").alias("sum_etf"),
+                    F.max("etfd").alias("max_etf"),
+                    F.expr("bit_or(fmask)").alias("fmask"),
+                    F.max("dsum").alias("max_dsum"),
+                )
+            )
+            (
+                bmx.repartition(nb, "bucket")
+                .sortWithinPartitions("bucket", "term", "blk")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(layout.blockmax(seg))
+            )
+        mark("blockmax", path=layout.blockmax(seg), block_shift=block_shift)
+
+    if not done("dict"):
+        # Dictionary stats roll up exactly from block-max rows (blocks
+        # partition each term's docids), saving a second postings pass.
+        with _split_hint(spark, layout.blockmax(seg), parallelism):
+            bmx = spark.read.parquet(layout.blockmax(seg))
+            dic = bmx.groupBy("bucket", "term").agg(
+                F.sum("n").alias("df"),
+                F.sum("hits").alias("hits"),
+                F.max("max_tf").alias("max_tf"),
+                F.sum("n_exact").alias("exact_df"),
+                F.sum("sum_etf").alias("exact_hits"),
             )
             (
                 dic.repartition(nb, "bucket")
@@ -515,6 +568,7 @@ def build_index(
         term_buckets=cfg.term_buckets,
         segments=[{"name": seg, "seq": 0, "n_docs": stages["docs"]["n_docs"]}],
         next_seq=1,
+        block_shift=stages["blockmax"]["block_shift"],
     )
     meta.save(index_dir)
     # empty tombstones

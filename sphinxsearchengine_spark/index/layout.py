@@ -51,6 +51,11 @@ class IndexMeta:
     field_weights: dict = field(default_factory=lambda: dict(FIELD_WEIGHTS))
     next_seq: int = 0
     n_tombstones: int = 0  # query fast path skips anti-join when 0
+    # docid -> block id is (docid as uint64) >> block_shift; chosen at
+    # first build so a block holds ~POSTINGS_BLOCK docs, constant across
+    # all segments of one index (block-max metadata, SURVEY.md §1.5).
+    # None on legacy indexes (planner then skips block pruning).
+    block_shift: int | None = None
 
     def save(self, index_dir: str) -> None:
         with open(os.path.join(index_dir, "meta.json"), "w") as f:
@@ -74,6 +79,9 @@ class IndexLayout:
 
     def dict(self, seg: str) -> str:
         return os.path.join(self.segment_dir(seg), "dict")
+
+    def blockmax(self, seg: str) -> str:
+        return os.path.join(self.segment_dir(seg), "blockmax")
 
     def docs(self, seg: str) -> str:
         return os.path.join(self.segment_dir(seg), "docs")

@@ -67,7 +67,10 @@ def upsert(
         .join(documents.select("docid").distinct(), "docid", "left_semi")
         .count()
     )
-    stages = build_segment(spark, documents, index_dir, seg, cfg)
+    # delta segments reuse the index's block_shift so blocks align
+    stages = build_segment(
+        spark, documents, index_dir, seg, cfg, block_shift=meta.block_shift
+    )
     _add_tombstones(spark, layout, documents.select("docid").distinct(), seq)
     meta.segments.append({"name": seg, "seq": seq, "n_docs": stages["docs"]["n_docs"]})
     meta.next_seq = seq + 1

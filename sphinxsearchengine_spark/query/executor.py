@@ -226,6 +226,168 @@ def _expand_groups(spark, layout, query: Query, dict_pdf=None):
     return mapping, stats, buckets
 
 
+# Driver-side cap on surviving blocks the planner may hand back; queries
+# whose rarest group exceeds it skip block pruning entirely (a broad
+# query scans most blocks anyway, so the planner job would be pure cost).
+BLOCK_PLAN_CAP = 200_000
+
+
+def _finish_block_plan(pdf: pd.DataFrame, now_ts: int):
+    """Shared tail: raw bm25 bound + freshness bound -> weight ub."""
+    import numpy as np
+
+    from sphinxsearchengine_spark.config import (
+        BM25_SCALE, FRESHNESS_BOOST, FRESHNESS_HORIZON_S, FRESHNESS_POW,
+        PROXIMITY_SCALE,
+    )
+
+    bm25_ub = (pdf["raw_ub"].to_numpy() + 0.5) * BM25_SCALE
+    fb = np.maximum(
+        1.0 - (now_ts - pdf["dmax"].to_numpy() / 2.0) / FRESHNESS_HORIZON_S, 0.0
+    )
+    pdf = pdf.assign(ub=bm25_ub + PROXIMITY_SCALE + FRESHNESS_BOOST * fb**FRESHNESS_POW)
+    return pdf[["blk", "ub", "cap"]].reset_index(drop=True)
+
+
+def _plan_blocks_pandas(bmx_pdf: pd.DataFrame, mapping, n_groups,
+                        phrase_alts, now_ts):
+    """Driver-RAM twin of the Spark planner below (Searcher pins the
+    blockmax table like searchd pins its wordlist) — keep the filter and
+    bound logic in sync with _plan_blocks."""
+    import numpy as np
+
+    map_pdf = pd.DataFrame(
+        mapping,
+        columns=["term", "gid", "idf", "is_pm", "midx", "fld", "uex", "pid"],
+    )
+    sub = bmx_pdf.merge(map_pdf, on="term", how="inner")
+    if sub.empty:
+        return sub.assign(ub=0.0, cap=0)[["blk", "ub", "cap"]]
+    fld = sub["fld"].to_numpy()
+    keep = (fld == -1) | (
+        ((sub["fmask"].to_numpy() >> np.maximum(fld, 0)) & 1) == 1
+    )
+    keep &= (sub["uex"].to_numpy() == 0) | (sub["max_etf"].to_numpy() > 0)
+    sub = sub[keep]
+    if sub.empty:
+        return sub.assign(ub=0.0, cap=0)[["blk", "ub", "cap"]]
+    mtf = np.where(sub["uex"] == 1, sub["max_etf"], sub["max_tf"]).astype(np.float64)
+    sub = sub.assign(contrib=sub["idf"].to_numpy() * mtf / (mtf + BM25_K1))
+    ub = sub.groupby("blk").agg(raw_ub=("contrib", "sum"), dmax=("max_dsum", "max"))
+    pres = (
+        sub.groupby(["blk", "gid", "pid"])
+        .agg(nmidx=("midx", "nunique"), gn=("n", "sum"))
+        .reset_index()
+    )
+    if phrase_alts:
+        nmem = {
+            (g, p): nm for g, pids in phrase_alts.items() for p, nm in pids.items()
+        }
+        req = np.asarray(
+            [nmem.get((g, p), 0) for g, p in zip(pres["gid"], pres["pid"])]
+        )
+        pres = pres[(pres["pid"].to_numpy() == -1) | (pres["nmidx"].to_numpy() >= req)]
+    per_gid = pres.groupby(["blk", "gid"]).agg(gn=("gn", "sum")).reset_index()
+    blocks = per_gid.groupby("blk").agg(ng=("gid", "nunique"), cap=("gn", "min"))
+    blocks = blocks[blocks["ng"] == n_groups].join(ub).reset_index()
+    return _finish_block_plan(blocks, now_ts)
+
+
+def _plan_blocks(spark, layout, map_df, mapping, stats, buckets,
+                 n_groups, phrase_alts, now_ts, bmx_pdf=None):
+    """Block-max planner (north rule: block-max WAND).
+
+    Reads the per-(term, docid-block) metadata written at build time
+    (index/builder.py blockmax stage) and returns the blocks that can
+    possibly satisfy the AND query, each with an upper bound on any
+    contained doc's weight:
+
+    - presence (exact): a block survives only if every group has a
+      matchable alternative in it — kw alternative term present
+      (field-mask and exact-tf aware), or ALL members of some phrase
+      alternative present (same doc ⇒ same block, so this is a valid
+      necessary condition).  Dropping non-surviving blocks never changes
+      results.
+    - ub: Σ over present mapping rows of idf·max_tf/(max_tf+k1), scaled
+      like the scorer, + max proximity + block freshness bound.  Used by
+      the caller's two-pass τ refinement; dropping rows from the sum is
+      impossible (all present rows counted) and idf ≥ 0, so ub dominates
+      every contained doc's score.
+
+    Returns (pandas[blk, ub, cap] or None, info).  pandas is None when
+    the index has no block metadata or the rarest group is too frequent
+    (guard: min group df ≤ BLOCK_PLAN_CAP keeps the driver collect
+    bounded; the Spark-side aggregation over hot terms' block rows stays
+    distributed either way).
+    """
+    import numpy as np
+
+    meta = layout.meta
+    shift = meta.block_shift
+    info = {"planned": False, "n_blocks": 0, "min_df": None}
+    if shift is None:
+        return None, info
+    df_by_gid: dict[int, int] = {}
+    for term, gid, _idf, _is_pm, _midx, _fld, uex, _pid in mapping:
+        df_by_gid[gid] = df_by_gid.get(gid, 0) + stats[term][3 if uex else 0]
+    min_df = min(df_by_gid.values())
+    info["min_df"] = min_df
+    if min_df > BLOCK_PLAN_CAP:
+        return None, info
+    if bmx_pdf is not None:
+        terms = {m[0] for m in mapping}
+        pdf = _plan_blocks_pandas(
+            bmx_pdf[bmx_pdf["term"].isin(terms)], mapping, n_groups,
+            phrase_alts, now_ts,
+        )
+        info.update(planned=True, n_blocks=len(pdf), driver_ram=True)
+        return pdf, info
+    try:
+        bm = _live_union(spark, layout, "blockmax")
+        terms = sorted({m[0] for m in mapping})
+        bm = bm.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        j = bm.join(F.broadcast(map_df), "term")
+        j = j.filter((F.col("fld") == -1) | (F.expr("(fmask >> fld) & 1") == 1))
+        j = j.filter((F.col("uex") == 0) | (F.col("max_etf") > 0))
+        j = j.withColumn(
+            "mtf",
+            F.when(F.col("uex") == 1, F.col("max_etf")).otherwise(F.col("max_tf")),
+        ).withColumn(
+            "contrib", F.col("idf") * F.col("mtf") / (F.col("mtf") + BM25_K1)
+        )
+        # ub over ALL present rows (partial phrase members still add BM25)
+        ub = j.groupBy("blk").agg(
+            F.sum("contrib").alias("raw_ub"), F.max("max_dsum").alias("dmax")
+        )
+        # presence: per (blk, gid, pid) — kw rows (pid=-1) trivially
+        # present; phrase alternatives need every member index
+        pres = j.groupBy("blk", "gid", "pid").agg(
+            F.count_distinct("midx").alias("nmidx"), F.sum("n").alias("gn")
+        )
+        nmem_rows = [
+            (gid, pid, nmem)
+            for gid, pids in phrase_alts.items()
+            for pid, nmem in pids.items()
+        ]
+        if nmem_rows:
+            nmem_df = spark.createDataFrame(nmem_rows, "gid int, pid int, nmem int")
+            pres = pres.join(F.broadcast(nmem_df), ["gid", "pid"], "left")
+            pres = pres.filter(F.col("nmem").isNull() | (F.col("nmidx") >= F.col("nmem")))
+        per_gid = pres.groupBy("blk", "gid").agg(F.sum("gn").alias("gn"))
+        blocks = (
+            per_gid.groupBy("blk")
+            .agg(F.count(F.lit(1)).alias("ng"), F.min("gn").alias("cap"))
+            .filter(F.col("ng") == n_groups)
+            .join(ub, "blk")
+        )
+        pdf = blocks.toPandas()
+    except Exception:
+        return None, info
+    pdf = _finish_block_plan(pdf, now_ts)
+    info.update(planned=True, n_blocks=len(pdf))
+    return pdf, info
+
+
 def _decode_all(pr: pd.DataFrame):
     """Vectorized varbyte decode of every pos_vb in the frame.
 
@@ -576,9 +738,6 @@ def score_matches(
             F.col("seq") == F.col("mseq")
         ).drop("mseq")
 
-    cand = post.join(F.broadcast(map_df), "term")
-    cand = cand.filter((F.col("fld") == -1) | (F.col("field") == F.col("fld")))
-
     phrase_alts: dict[int, dict[int, int]] = {}
     for gid, g in enumerate(query.groups):
         pc = 0
@@ -591,23 +750,91 @@ def score_matches(
         len(query.groups), phrase_alts, now_ts, weights_by_fid, prune,
         max_score_val,
     )
-
     shuffle_n = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
-    # uex rows score on exact_tf (surface==term occurrences) — rows with
-    # no exact occurrence are non-matches for that expansion and are
-    # dropped JVM-side before the shuffle.
-    cand = cand.withColumn(
-        "tf", F.when(F.col("uex") == 1, F.col("exact_tf")).otherwise(F.col("tf"))
-    ).filter(F.col("tf") > 0)
-    scored = (
-        cand.select(
-            "docid", "term", "gid", "idf", "is_pm", "midx", "pid", "field",
-            "tf", "uex", "pos_vb", "lang", "date_insert", "date_modify",
+    shift = meta.block_shift
+
+    def run(blks) -> DataFrame:
+        """Score the (optionally block-restricted) postings scan."""
+        p = post
+        if blks is not None:
+            blk_col = F.expr(f"shiftrightunsigned(docid, {shift})")
+            if len(blks) <= 256:
+                p = p.filter(blk_col.isin([int(b) for b in blks]))
+            else:
+                bdf = spark.createDataFrame(
+                    [(int(b),) for b in blks], "blk long"
+                )
+                p = (
+                    p.withColumn("_blk", blk_col)
+                    .join(F.broadcast(bdf), F.col("_blk") == bdf.blk, "left_semi")
+                    .drop("_blk")
+                )
+        c = p.join(F.broadcast(map_df), "term")
+        c = c.filter((F.col("fld") == -1) | (F.col("field") == F.col("fld")))
+        # uex rows score on exact_tf (surface==term occurrences) — rows
+        # with no exact occurrence are non-matches for that expansion and
+        # are dropped JVM-side before the shuffle.
+        c = c.withColumn(
+            "tf", F.when(F.col("uex") == 1, F.col("exact_tf")).otherwise(F.col("tf"))
+        ).filter(F.col("tf") > 0)
+        return (
+            c.select(
+                "docid", "term", "gid", "idf", "is_pm", "midx", "pid", "field",
+                "tf", "uex", "pos_vb", "lang", "date_insert", "date_modify",
+            )
+            .repartition(shuffle_n, "docid")
+            .mapInPandas(scorer, schema=SCORED_SCHEMA)
         )
-        .repartition(shuffle_n, "docid")
-        .mapInPandas(scorer, schema=SCORED_SCHEMA)
-    )
-    return scored
+
+    # --- block-max pruning (north rule: block-max WAND) -------------------
+    blk_plan = None
+    if not (_ctx or {}).get("no_blockmax", False):
+        blk_plan, binfo = _plan_blocks(
+            spark, layout, map_df, mapping, _stats, buckets,
+            len(query.groups), phrase_alts, now_ts,
+            bmx_pdf=(_ctx or {}).get("blockmax_pdf"),
+        )
+        if _ctx is not None:
+            _ctx["block_plan"] = binfo
+    if blk_plan is None:
+        return run(None)
+    if len(blk_plan) == 0:
+        # no block holds all groups: AND is unsatisfiable, zero scan
+        return spark.createDataFrame([], SCORED_SCHEMA)
+    if (
+        prune is not None
+        and prune.get("order") == "weight"
+        and prune.get("sort") == "desc"
+        and len(blk_plan) > 8
+    ):
+        # two-pass τ refinement: score the highest-ub blocks first, take
+        # the K-th weight as τ, then visit only remaining blocks whose ub
+        # can still beat it.  τ_final ≥ τ_passA, so skipping ub < τ_passA
+        # blocks is exact.
+        import numpy as np
+
+        k_ = prune["topn"]
+        plan = blk_plan.sort_values("ub", ascending=False, kind="mergesort")
+        csum = plan["cap"].to_numpy().cumsum()
+        take = int(np.searchsorted(csum, max(4 * k_, 256))) + 1
+        if take >= len(plan):
+            return run(plan["blk"].to_numpy())
+        pass_a = plan.iloc[:take]
+        rest = plan.iloc[take:]
+        scored_a = run(pass_a["blk"].to_numpy()).localCheckpoint()
+        top_a = (
+            scored_a.select("weight_raw")
+            .orderBy(F.col("weight_raw").desc())
+            .limit(k_)
+            .collect()
+        )
+        if len(top_a) >= k_:
+            tau = top_a[-1].weight_raw
+            rest = rest[rest["ub"] >= tau]
+        if len(rest) == 0:
+            return scored_a
+        return scored_a.unionByName(run(rest["blk"].to_numpy()))
+    return run(blk_plan["blk"].to_numpy())
 
 
 _ORDER_COLS = {"weight": "weight_raw", "date_insert": "date_insert",

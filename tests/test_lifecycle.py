@@ -132,10 +132,10 @@ def test_build_resume(spark, tmp_path):
     build_index(spark, docs, idx, CFG, salt_factor=2)
     man_path = IndexLayout(idx).manifest("seg_00000")
     manifest = json.load(open(man_path))
-    assert set(manifest["stages"]) == {"docs", "postings", "dict"}
+    assert set(manifest["stages"]) == {"docs", "postings", "blockmax", "dict"}
 
     # simulate a crash after 'docs': wipe the completed-flag of later stages
-    for st in ["postings", "dict"]:
+    for st in ["postings", "blockmax", "dict"]:
         manifest["stages"].pop(st)
     json.dump(manifest, open(man_path, "w"))
     before = search(spark, idx, "hotterm", limit=5, now_ts=PINNED_NOW).collect()
