@@ -342,11 +342,10 @@ class _split_hint:
     and this becomes a no-op."""
 
     def __init__(self, spark, path: str, parallelism: int):
+        from sphinxsearchengine_spark import fs
+
         self.spark = spark
-        total = 0
-        for root, _dirs, files in os.walk(path):
-            for f in files:
-                total += os.path.getsize(os.path.join(root, f))
+        total = fs.total_size(path)
         self.target = max(total // max(parallelism, 1) + 1, 1 << 20)
 
     def __enter__(self):
@@ -376,18 +375,15 @@ def block_shift_for(n_docs: int) -> int:
 
 
 def _manifest_load(path: str) -> dict:
-    if os.path.exists(path):
-        with open(path) as f:
-            return json.load(f)
-    return {"stages": {}}
+    from sphinxsearchengine_spark import fs
+
+    return fs.read_json(path, default={"stages": {}})
 
 
 def _manifest_save(path: str, manifest: dict) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
-    os.replace(tmp, path)
+    from sphinxsearchengine_spark import fs
+
+    fs.write_json_atomic(path, manifest)
 
 
 def build_segment(
@@ -556,8 +552,10 @@ def build_index(
     """Full bulk build: one base segment + fresh meta (reference S1/S2,
     auto-bootstrap analog of init_index, SphinxSearchEngine_class.php:484-535).
     """
+    from sphinxsearchengine_spark import fs
+
     cfg = cfg or EngineConfig()
-    os.makedirs(index_dir, exist_ok=True)
+    fs.makedirs(index_dir)
     layout = IndexLayout(index_dir)
     seg = "seg_00000"
     stages = build_segment(

@@ -58,13 +58,15 @@ class IndexMeta:
     block_shift: int | None = None
 
     def save(self, index_dir: str) -> None:
-        with open(os.path.join(index_dir, "meta.json"), "w") as f:
-            json.dump(asdict(self), f, indent=2, sort_keys=True)
+        from sphinxsearchengine_spark import fs
+
+        fs.write_json_atomic(os.path.join(index_dir, "meta.json"), asdict(self))
 
     @classmethod
     def load(cls, index_dir: str) -> "IndexMeta":
-        with open(os.path.join(index_dir, "meta.json")) as f:
-            return cls(**json.load(f))
+        from sphinxsearchengine_spark import fs
+
+        return cls(**json.loads(fs.read_text(os.path.join(index_dir, "meta.json"))))
 
 
 class IndexLayout:
@@ -93,7 +95,9 @@ class IndexLayout:
         return os.path.join(self.index_dir, "manifests", f"{seg}.json")
 
     def exists(self) -> bool:
-        return os.path.exists(os.path.join(self.index_dir, "meta.json"))
+        from sphinxsearchengine_spark import fs
+
+        return fs.exists(os.path.join(self.index_dir, "meta.json"))
 
     @property
     def meta(self) -> IndexMeta:

@@ -28,6 +28,13 @@ DEFAULTS = {
     "chunk_separator": " … ",
     "limit": 200,
     "around": 15,
+    # The reference html-escapes document text and protects its match
+    # markers with the \x01/\x02 placeholder trick
+    # (SphinxSearchEngine_class.php:252-266).  We build the excerpt from
+    # pieces, so escaping each text slice before inserting the (never
+    # escaped) markers is equivalent — and keeps HTML-ish corpora from
+    # injecting markup into results.
+    "html_escape": True,
 }
 
 
@@ -52,6 +59,9 @@ def _query_matchers(query: Query):
 
 def build_excerpt(text: str, stems, exacts, prefixes, opts) -> str:
     """Single-document excerpt (shared by the pandas UDF and tests)."""
+    import html as _html
+
+    esc = _html.escape if opts.get("html_escape") else (lambda s: s)
     folded = charset.fold(text)
     tokens = []  # (start_char, end_char, matched)
     for m in charset.PRIMARY_TOKEN_RE.finditer(folded):
@@ -71,12 +81,12 @@ def build_excerpt(text: str, stems, exacts, prefixes, opts) -> str:
             hit = True
         tokens.append((m.start(), m.end(), hit))
     if not tokens:
-        return text[: opts["limit"]]
+        return esc(text[: opts["limit"]])
     matched_idx = [i for i, t in enumerate(tokens) if t[2]]
     if not matched_idx:
         # no match → document head (the reference shows leading text)
         end = tokens[min(len(tokens) - 1, 2 * opts["around"])][1]
-        return text[: min(end, opts["limit"])]
+        return esc(text[: min(end, opts["limit"])])
     around = opts["around"]
     windows: list[list[int]] = []
     for i in matched_idx:
@@ -94,8 +104,8 @@ def build_excerpt(text: str, stems, exacts, prefixes, opts) -> str:
         cursor = tokens[lo][0]
         for i in range(lo, hi + 1):
             s, e, hit = tokens[i]
-            frag += text[cursor:s]
-            word = text[s:e]
+            frag += esc(text[cursor:s])
+            word = esc(text[s:e])
             frag += (opts["before_match"] + word + opts["after_match"]) if hit else word
             cursor = e
         frag = frag.strip()

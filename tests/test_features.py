@@ -53,6 +53,25 @@ class TestSnippets:
         out = build_excerpt("alpha beta gamma", st, ex, pf, DEFAULTS)
         assert out.startswith("alpha")
 
+    def test_html_escaped(self):
+        """SphinxSearchEngine_class.php:252-266 — text is html-escaped,
+        match markers are not (placeholder-trick equivalence)."""
+        q = parse_query("spark")
+        st, ex, pf = _query_matchers(q)
+        text = 'safe <script>alert("x")</script> & spark <b>bold</b> end'
+        out = build_excerpt(text, st, ex, pf, DEFAULTS)
+        assert "<script>" not in out and "&lt;script&gt;" in out
+        assert "&amp;" in out
+        assert "<b>spark</b>" in out          # our marker survives
+        assert "&lt;b&gt;bold&lt;/b&gt;" in out  # doc's own markup escaped
+
+    def test_html_escape_off(self):
+        q = parse_query("spark")
+        st, ex, pf = _query_matchers(q)
+        opts = {**DEFAULTS, "html_escape": False}
+        out = build_excerpt("a & b spark", st, ex, pf, opts)
+        assert "a & b <b>spark</b>" in out
+
     def test_with_snippets_df(self, spark, idx):
         res = search(spark, idx, "hotterm", limit=3, now_ts=PINNED_NOW)
         docs = live_docs(spark, idx).select("docid", "content")

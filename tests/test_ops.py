@@ -68,6 +68,27 @@ class TestDedup:
                  for r in simhash_pairs(docs, "id", "text", max_hamming=3).collect()}
         assert pairs.get((1, 2)) == 0
 
+    def test_simhash_paired_bands_same_pairs(self, spark, docs):
+        """Scale blocking mode (5×13-bit chunk pairs) must return the
+        identical pair set — only candidate generation differs."""
+        base = {(r.id_a, r.id_b, r.hamming)
+                for r in simhash_pairs(docs, "id", "text", max_hamming=3).collect()}
+        paired = {(r.id_a, r.id_b, r.hamming)
+                  for r in simhash_pairs(docs, "id", "text", max_hamming=3,
+                                         paired_bands=True).collect()}
+        assert base == paired
+
+    def test_minhash_signature_batch_consistency(self, spark, docs):
+        """Signatures must be identical regardless of batching/partition
+        layout (content-derived hashing, no batch-local state)."""
+        from sphinxsearchengine_spark.ops.dedup import minhash_signatures
+
+        one = {r.id: r.sig for r in
+               minhash_signatures(docs.coalesce(1), "id", "text").collect()}
+        many = {r.id: r.sig for r in
+                minhash_signatures(docs.repartition(4), "id", "text").collect()}
+        assert one == many
+
     def test_stop_shingle_cap(self, spark):
         # a shingle present in every doc is dropped → no spurious pairs
         rows = [(i, f"common shingle text unique{i} word{i} tail{i}") for i in range(10)]
