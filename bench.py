@@ -37,7 +37,21 @@ ENGINE_QUERIES = {
     "search_hotterm": "hotterm",
     "search_prefix": "pars*",
     "search_field": "@title file_2*",
+    # rare∧hot: exercises the block-max planner (rarest group prunes the
+    # postings scan to ~1 docid block)
+    "search_selective": "needleuniq hotterm",
 }
+
+
+def _settle() -> None:
+    """Flush dirty pages before timing (this host's virtual disk shows
+    ±50% writeback jitter, see BENCH/BASELINE.md)."""
+    os.system("sync")
+    try:
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3")
+    except OSError:
+        pass
 
 
 def main() -> int:
@@ -51,7 +65,13 @@ def main() -> int:
         generate_corpus,
     )
     from sphinxsearchengine_spark.index.builder import build_index
-    
+
+    # scratch (index output + shuffle) on tmpfs when available: isolates
+    # the measurement from the sandbox's single virtual disk writeback
+    # (the driver tables themselves are still read from SF_DIR on disk)
+    scratch_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    scratch = tempfile.mkdtemp(prefix="sse_bench_", dir=scratch_root)
+    _settle()
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -61,6 +81,7 @@ def main() -> int:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SSE_DRIVER_MEM", "48g"))
+        .config("spark.local.dir", os.path.join(scratch, "sparklocal"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -73,7 +94,7 @@ def main() -> int:
     # --- 1. index build ----------------------------------------------------
     n_base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
     n_docs = n_base * 10
-    idx = os.path.join(tempfile.mkdtemp(prefix="sse_bench_"), "idx")
+    idx = os.path.join(scratch, "idx")
     docs = derive_documents(generate_corpus(spark, n_docs, partitions=CPUS))
     t0 = time.time()
     build_index(spark, docs, idx, EngineConfig(term_buckets=CPUS), salt_factor=4)
@@ -114,7 +135,8 @@ def main() -> int:
         queries[name] = round(time.time() - t0, 3)
 
     total = round(time.time() - t_suite, 3)
-    shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
+    spark.stop()
+    shutil.rmtree(scratch, ignore_errors=True)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:

@@ -85,6 +85,9 @@ def ngram_jaccard_pairs(
     if stop_shingle_df:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > stop_shingle_df)
         sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    # sh feeds three consumers (sizes + both join sides): persist so the
+    # shingle explode (+ hot-shingle anti join) runs once, not three times
+    sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

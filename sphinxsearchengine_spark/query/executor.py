@@ -233,19 +233,32 @@ BLOCK_PLAN_CAP = 200_000
 
 
 def _finish_block_plan(pdf: pd.DataFrame, now_ts: int):
-    """Shared tail: raw bm25 bound + freshness bound -> weight ub."""
+    """Shared tail: bm25 + proximity + freshness bounds -> weight ub.
+
+    The proximity bound uses the block's field mask: per-field LCS is at
+    most n_groups, so wsum ≤ n_groups·Σ_{f present} w_f and
+    prox ≤ 2000·Σ_present/Σ_all — a block whose terms live only in the
+    body field (weight 1 of 23) is bounded at ~87, not 2000, which is
+    what lets τ actually cut blocks."""
     import numpy as np
 
     from sphinxsearchengine_spark.config import (
-        BM25_SCALE, FRESHNESS_BOOST, FRESHNESS_HORIZON_S, FRESHNESS_POW,
-        PROXIMITY_SCALE,
+        BM25_SCALE, FIELD_NAMES, FIELD_WEIGHTS, FRESHNESS_BOOST,
+        FRESHNESS_HORIZON_S, FRESHNESS_POW, PROXIMITY_SCALE,
     )
 
+    w_sum_all = float(sum(FIELD_WEIGHTS.values()))
+    w_by_fid = np.asarray([FIELD_WEIGHTS[n] for n in FIELD_NAMES], dtype=np.float64)
+    fm = pdf["fmask"].to_numpy()
+    w_present = np.zeros(len(pdf), dtype=np.float64)
+    for fid, w in enumerate(w_by_fid):
+        w_present += w * ((fm >> fid) & 1)
+    prox_ub = PROXIMITY_SCALE * w_present / w_sum_all
     bm25_ub = (pdf["raw_ub"].to_numpy() + 0.5) * BM25_SCALE
     fb = np.maximum(
         1.0 - (now_ts - pdf["dmax"].to_numpy() / 2.0) / FRESHNESS_HORIZON_S, 0.0
     )
-    pdf = pdf.assign(ub=bm25_ub + PROXIMITY_SCALE + FRESHNESS_BOOST * fb**FRESHNESS_POW)
+    pdf = pdf.assign(ub=bm25_ub + prox_ub + FRESHNESS_BOOST * fb**FRESHNESS_POW)
     return pdf[["blk", "ub", "cap"]].reset_index(drop=True)
 
 
@@ -273,7 +286,11 @@ def _plan_blocks_pandas(bmx_pdf: pd.DataFrame, mapping, n_groups,
         return sub.assign(ub=0.0, cap=0)[["blk", "ub", "cap"]]
     mtf = np.where(sub["uex"] == 1, sub["max_etf"], sub["max_tf"]).astype(np.float64)
     sub = sub.assign(contrib=sub["idf"].to_numpy() * mtf / (mtf + BM25_K1))
-    ub = sub.groupby("blk").agg(raw_ub=("contrib", "sum"), dmax=("max_dsum", "max"))
+    ub = sub.groupby("blk").agg(
+        raw_ub=("contrib", "sum"),
+        dmax=("max_dsum", "max"),
+        fmask=("fmask", lambda s: int(np.bitwise_or.reduce(s.to_numpy()))),
+    )
     pres = (
         sub.groupby(["blk", "gid", "pid"])
         .agg(nmidx=("midx", "nunique"), gn=("n", "sum"))
@@ -357,7 +374,9 @@ def _plan_blocks(spark, layout, map_df, mapping, stats, buckets,
         )
         # ub over ALL present rows (partial phrase members still add BM25)
         ub = j.groupBy("blk").agg(
-            F.sum("contrib").alias("raw_ub"), F.max("max_dsum").alias("dmax")
+            F.sum("contrib").alias("raw_ub"),
+            F.max("max_dsum").alias("dmax"),
+            F.expr("bit_or(fmask)").alias("fmask"),
         )
         # presence: per (blk, gid, pid) — kw rows (pid=-1) trivially
         # present; phrase alternatives need every member index
@@ -801,6 +820,9 @@ def score_matches(
     if len(blk_plan) == 0:
         # no block holds all groups: AND is unsatisfiable, zero scan
         return spark.createDataFrame([], SCORED_SCHEMA)
+    from sphinxsearchengine_spark.config import POSTINGS_BLOCK
+
+    occupied = min(1 << (64 - shift), meta.n_docs // POSTINGS_BLOCK + 1)
     if (
         prune is not None
         and prune.get("order") == "weight"
@@ -833,7 +855,24 @@ def score_matches(
             rest = rest[rest["ub"] >= tau]
         if len(rest) == 0:
             return scored_a
+        if len(pass_a) + len(rest) >= 0.7 * occupied:
+            # τ couldn't cut much: finish with an unfiltered scan for
+            # the rest (avoids a huge broadcast block list)
+            return scored_a.unionByName(
+                run(None).join(
+                    F.broadcast(
+                        spark.createDataFrame(
+                            [(int(b),) for b in pass_a["blk"]], "ablk long"
+                        )
+                    ),
+                    F.expr(f"shiftrightunsigned(docid, {shift})") == F.col("ablk"),
+                    "left_anti",
+                )
+            )
         return scored_a.unionByName(run(rest["blk"].to_numpy()))
+    # presence-only filtering: skip when nearly every block survives
+    if len(blk_plan) >= 0.7 * occupied:
+        return run(None)
     return run(blk_plan["blk"].to_numpy())
 
 
