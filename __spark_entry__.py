@@ -764,6 +764,29 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
     """
+    sql["text_langid"] = """
+        WITH base AS (
+          SELECT doc_id AS id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), s AS (
+          SELECT id,
+            len(list_filter(toks, x -> x IN ('the','and','of','is','with'))) AS h_en,
+            len(list_filter(toks, x -> x IN ('der','die','und','ist','mit'))) AS h_de,
+            len(list_filter(toks, x -> x IN ('el','la','los','es','con'))) AS h_es,
+            len(list_filter(toks, x -> x IN ('le','la','les','est','avec'))) AS h_fr
+          FROM base
+        )
+        SELECT id,
+               CASE WHEN greatest(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+                    WHEN h_fr = greatest(h_en, h_de, h_es, h_fr) THEN 'fr'
+                    WHEN h_es = greatest(h_en, h_de, h_es, h_fr) THEN 'es'
+                    WHEN h_en = greatest(h_en, h_de, h_es, h_fr) THEN 'en'
+                    ELSE 'de' END AS pred_lang,
+               greatest(h_en, h_de, h_es, h_fr) AS hits
+        FROM s
+    """
     sql["text_token_count"] = """
         SELECT doc_id AS id,
                len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),

@@ -51,7 +51,9 @@ try:
     spark.sparkContext.setLogLevel("ERROR")
     idx = os.path.join(work, "idx")
     docs = derive_documents(generate_corpus(spark, n_docs, partitions=cores * 2))
-    docs.count()  # warm input generation path fairly for both runs
+    # warm python workers + codegen only (cheap, identical at all levels);
+    # the full generation re-executes lazily inside the docs stage anyway
+    derive_documents(generate_corpus(spark, 2000, partitions=cores)).count()
     t0 = time.time()
     build_index(spark, docs, idx, EngineConfig(term_buckets=32), salt_factor=4)
     build_s = time.time() - t0
@@ -87,30 +89,40 @@ def _work_root() -> str:
     return "/dev/shm" if os.path.isdir("/dev/shm") else ""
 
 
-def run(cores: int, n_docs: int, repeats: int = 5) -> dict:
-    """Median of `repeats` fresh-JVM runs (all raw values reported)."""
+RUNS_LOG = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
+
+
+def run_one(cores: int, n_docs: int) -> dict:
+    """One fresh-JVM run, appended to the runs journal (resumable
+    protocol — this sandbox reaps long detached processes, so the
+    measurement campaign is driven as many short invocations)."""
     code = _RUNNER.format(repo=REPO)
-    results = []
-    for _ in range(repeats):
-        _settle()
-        out = subprocess.run(
-            [sys.executable, "-c", code, str(cores), str(n_docs), _work_root()],
-            capture_output=True, text=True, timeout=3600,
+    _settle()
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cores), str(n_docs), _work_root()],
+        capture_output=True, text=True, timeout=3600,
+    )
+    res = None
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            res = json.loads(line[7:])
+    if res is None:
+        raise RuntimeError(
+            f"no RESULT from cores={cores}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
         )
-        res = None
-        for line in out.stdout.splitlines():
-            if line.startswith("RESULT "):
-                res = json.loads(line[7:])
-        if res is None:
-            raise RuntimeError(
-                f"no RESULT from cores={cores}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
-            )
-        results.append(res)
-        print(f"  local[{cores}] n={n_docs}: build {res['build_s']:.1f}s", flush=True)
+    res["n_docs"] = n_docs
+    os.makedirs(os.path.dirname(RUNS_LOG), exist_ok=True)
+    with open(RUNS_LOG, "a") as f:
+        f.write(json.dumps(res) + "\n")
+    print(f"  local[{cores}] n={n_docs}: build {res['build_s']:.1f}s", flush=True)
+    return res
+
+
+def _median_cell(results: list[dict], cores: int, n_docs: int) -> dict:
     med = statistics.median(r["build_s"] for r in results)
-    # representative run = the one closest to the median build time
     best = min(results, key=lambda r: abs(r["build_s"] - med))
     best = dict(best)
+    best["cores"] = cores
     best["build_s"] = med
     best["docs_per_sec"] = n_docs / med
     best["all_build_s"] = sorted(round(r["build_s"], 1) for r in results)
@@ -118,47 +130,68 @@ def run(cores: int, n_docs: int, repeats: int = 5) -> dict:
     return best
 
 
-def bench_size(n_docs: int) -> dict:
-    rep = int(os.environ.get("SSE_SCALE_REPEATS", "5"))
-    r2 = run(2, n_docs, repeats=rep)
-    r8 = run(8, n_docs, repeats=rep)
-    r32 = run(32, n_docs, repeats=max(rep - 2, 1))
-    return {
-        "n_docs": n_docs,
-        "local2": r2,
-        "local8": r8,
-        "local32": r32,
-        "speedup_2_to_8": round(r2["build_s"] / r8["build_s"], 3),
-        "scaling_efficiency_N_to_4N": round((r2["build_s"] / r8["build_s"]) / 4.0, 3),
-        "speedup_8_to_32": round(r8["build_s"] / r32["build_s"], 3),
-        "scaling_efficiency_8_to_32": round((r8["build_s"] / r32["build_s"]) / 4.0, 3),
-    }
+def _cells_from_log() -> dict:
+    cells: dict[tuple[int, int], list[dict]] = {}
+    with open(RUNS_LOG) as f:
+        for line in f:
+            r = json.loads(line)
+            cells.setdefault((r["cores"], r["n_docs"]), []).append(r)
+    return cells
+
+
+N4N_PAIRS = [(1, 4), (2, 8), (8, 32)]
+
+
+def report_from_log(sizes: list[int]) -> list[dict]:
+    cells = _cells_from_log()
+    reports = []
+    for n in sizes:
+        by_core = {
+            c: _median_cell(rs, c, n)
+            for (c, nd), rs in cells.items()
+            if nd == n
+        }
+        if not by_core:
+            continue
+        rep: dict = {"n_docs": n, "cells": by_core, "pairs": {}}
+        for a, b in N4N_PAIRS:
+            if a in by_core and b in by_core:
+                sp = by_core[a]["build_s"] / by_core[b]["build_s"]
+                rep["pairs"][f"{a}_to_{b}"] = {
+                    "speedup": round(sp, 3),
+                    "efficiency": round(sp / 4.0, 3),
+                }
+        reports.append(rep)
+    return reports
 
 
 def _size_md(rep: dict) -> str:
-    r2, r8, r32 = rep["local2"], rep["local8"], rep["local32"]
-    return (
-        f"## {rep['n_docs']:,} docs (median of 5/5/3 fresh-JVM runs)\n\n"
-        f"| metric | local[2] | local[8] | local[32] |\n|---|---|---|---|\n"
-        f"| build seconds (median) | {r2['build_s']:.1f} | {r8['build_s']:.1f} | {r32['build_s']:.1f} |\n"
-        f"| all runs (s) | {r2['all_build_s']} | {r8['all_build_s']} | {r32['all_build_s']} |\n"
-        f"| docs indexed/sec | {r2['docs_per_sec']:.0f} | {r8['docs_per_sec']:.0f} | {r32['docs_per_sec']:.0f} |\n"
-        f"| 3-query latency total (s, median) | {r2['query_s']:.2f} | {r8['query_s']:.2f} | {r32['query_s']:.2f} |\n\n"
-        f"**N → 4N (local[2] → local[8]): {rep['speedup_2_to_8']}× speedup, "
-        f"scaling efficiency {rep['scaling_efficiency_N_to_4N']}.**  "
-        f"8 → 32: {rep['speedup_8_to_32']}× "
-        f"(efficiency {rep['scaling_efficiency_8_to_32']}).\n\n"
-    )
-
-
-def main() -> int:
-    sizes = [
-        int(x)
-        for x in os.environ.get("SSE_SCALE_DOCS", "200000,400000").split(",")
+    cores = sorted(rep["cells"])
+    cells = [rep["cells"][c] for c in cores]
+    hdr = " | ".join(f"local[{c}]" for c in cores)
+    out = [
+        f"## {rep['n_docs']:,} docs (median of fresh-JVM runs per level)\n\n",
+        f"| metric | {hdr} |\n|---|{'---|' * len(cores)}\n",
+        "| build seconds (median) | "
+        + " | ".join(f"{r['build_s']:.1f}" for r in cells) + " |\n",
+        "| all runs (s) | "
+        + " | ".join(str(r["all_build_s"]) for r in cells) + " |\n",
+        "| docs indexed/sec | "
+        + " | ".join(f"{r['docs_per_sec']:.0f}" for r in cells) + " |\n",
+        "| 3-query latency total (s, median) | "
+        + " | ".join(f"{r['query_s']:.2f}" for r in cells) + " |\n\n",
     ]
+    for pair, v in rep["pairs"].items():
+        a, b = pair.split("_to_")
+        out.append(
+            f"**N → 4N (local[{a}] → local[{b}]): {v['speedup']}× speedup, "
+            f"scaling efficiency {v['efficiency']}.**\n\n"
+        )
+    return "".join(out)
+
+
+def write_md(reports: list[dict]) -> None:
     root = _work_root() or "(default /tmp disk)"
-    reports = [bench_size(n) for n in sizes]
-    print(json.dumps(reports, indent=2))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     body = "".join(_size_md(rep) for rep in reports)
@@ -202,6 +235,33 @@ def main() -> int:
             "  vectorized scorer.\n"
         )
     print(f"wrote {md}")
+
+
+def main() -> int:
+    sizes = [
+        int(x)
+        for x in os.environ.get("SSE_SCALE_DOCS", "200000,400000").split(",")
+    ]
+    if len(sys.argv) > 1 and sys.argv[1] == "one":
+        cores, n_docs = int(sys.argv[2]), int(sys.argv[3])
+        repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+        for _ in range(repeats):
+            run_one(cores, n_docs)
+        return 0
+    if len(sys.argv) > 1 and sys.argv[1] == "report":
+        reports = report_from_log(sizes)
+        print(json.dumps(reports, indent=2))
+        write_md(reports)
+        return 0
+    # default: the full campaign at the standard matrix (long!)
+    rep = int(os.environ.get("SSE_SCALE_REPEATS", "5"))
+    for n in sizes:
+        for cores, r in [(1, rep), (2, rep), (4, rep), (8, rep), (32, max(rep - 2, 1))]:
+            for _ in range(r):
+                run_one(cores, n)
+    reports = report_from_log(sizes)
+    print(json.dumps(reports, indent=2))
+    write_md(reports)
     return 0
 
 

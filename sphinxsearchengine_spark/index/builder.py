@@ -374,6 +374,90 @@ def block_shift_for(n_docs: int) -> int:
     return min(max(64 - bits, 0), 63)
 
 
+class _whole_files:
+    """Read parquet with one-file-per-partition (no splitting, no
+    binning): huge open cost forces every file into its own partition,
+    huge maxPartitionBytes prevents splitting a file.  Used where a
+    stage's correctness relies on file-level row co-location (blockmax
+    per-doc aggregation below)."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        conf = self.spark.conf
+        self.old_mpb = conf.get("spark.sql.files.maxPartitionBytes")
+        self.old_open = conf.get("spark.sql.files.openCostInBytes")
+        conf.set("spark.sql.files.maxPartitionBytes", str(1 << 40))
+        conf.set("spark.sql.files.openCostInBytes", str(1 << 40))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.files.maxPartitionBytes", self.old_mpb)
+        self.spark.conf.set("spark.sql.files.openCostInBytes", self.old_open)
+
+
+def _per_doc_batches(block_shift: int):
+    """Partition-local doc-level rollup of postings rows (numpy).
+
+    Exactness relies on the write layout: postings are partitioned by
+    (bucket, docid-salt) before the per-bucket write, so ALL rows of one
+    (term, docid) live in one file, and _whole_files keeps files intact
+    per input partition — no shuffle needed for the docid level.
+    """
+    import numpy as np
+
+    def gen(pdf_iter):
+        # one partition == one postings file (see _whole_files), but
+        # Arrow hands it over as ~10k-row batches — concatenate so the
+        # (term, docid) grouping sees the whole file
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        else:
+            pdf = None
+        if pdf is not None and len(pdf):
+            tcode, tuniq = pd.factorize(pdf["term"], sort=False)
+            pairs = np.stack(
+                [tcode.astype(np.int64), pdf["docid"].to_numpy(np.int64)], axis=1
+            )
+            uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+            n = len(uniq)
+            tfd = np.zeros(n, np.int64)
+            etfd = np.zeros(n, np.int64)
+            fmask = np.zeros(n, np.int64)
+            np.add.at(tfd, inv, pdf["tf"].to_numpy(np.int64))
+            np.add.at(etfd, inv, pdf["exact_tf"].to_numpy(np.int64))
+            np.bitwise_or.at(
+                fmask, inv, np.int64(1) << pdf["field"].to_numpy(np.int64)
+            )
+            dsum = np.zeros(n, np.int64)
+            np.maximum.at(
+                dsum, inv,
+                pdf["date_insert"].to_numpy(np.int64)
+                + pdf["date_modify"].to_numpy(np.int64),
+            )
+            bucket = np.zeros(n, np.int32)
+            bucket[inv] = pdf["bucket"].to_numpy(np.int32)
+            docids = uniq[:, 1]
+            blk = (docids.astype(np.uint64) >> np.uint64(block_shift)).astype(
+                np.int64
+            )
+            yield pd.DataFrame(
+                {
+                    "bucket": bucket,
+                    "term": np.asarray(tuniq, dtype=object)[uniq[:, 0]],
+                    "blk": blk,
+                    "tfd": tfd,
+                    "etfd": etfd,
+                    "fmask": fmask,
+                    "dsum": dsum,
+                }
+            )
+
+    return gen
+
+
 def _manifest_load(path: str) -> dict:
     from sphinxsearchengine_spark import fs
 
@@ -423,17 +507,14 @@ def build_segment(
     ]
 
     if not done("docs"):
-        # Hash-partition + per-file docid sort: files are docid-sorted so
-        # parquet row-group min/max stats prune hydration lookups at
-        # production row-group counts, WITHOUT repartitionByRange's
-        # sampling pass (which would execute the upstream input twice —
-        # the source may be an expensive derivation).
-        (
-            documents.select(*doc_cols)
-            .repartition(max(spark.sparkContext.defaultParallelism, nb // 2), "docid")
-            .sortWithinPartitions("docid")
-            .write.mode("overwrite")
-            .parquet(layout.docs(seg))
+        # Straight parallel write — NO shuffle.  Hydration is a broadcast
+        # join of k docids against this table (executor.py S8), which
+        # pushes no docid range predicate, so the round-1 docid
+        # repartition+sort bought nothing and moved the heaviest bytes
+        # (content) through an exchange.  The n_docs count reads parquet
+        # footers only.
+        documents.select(*doc_cols).write.mode("overwrite").parquet(
+            layout.docs(seg)
         )
         n_docs = spark.read.parquet(layout.docs(seg)).count()
         mark("docs", path=layout.docs(seg), n_docs=n_docs)
@@ -484,29 +565,34 @@ def build_segment(
         # tf/exact-tf bounds, per-field presence mask and freshness bound.
         # The query planner prunes whole blocks from the postings scan
         # before any positional work (query/executor._plan_blocks).
-        with _split_hint(spark, layout.postings(seg), parallelism * 2):
-            post = spark.read.parquet(layout.postings(seg))
-            per_doc = post.groupBy("bucket", "term", "docid").agg(
-                F.sum("tf").alias("tfd"),
-                F.sum("exact_tf").alias("etfd"),
-                F.expr("bit_or(shiftleft(1, field))").alias("fmask"),
-                F.max(F.col("date_insert") + F.col("date_modify")).alias("dsum"),
+        #
+        # The doc-level rollup is PARTITION-LOCAL (numpy in mapInPandas):
+        # the postings write co-located every (term, docid) in one file
+        # via the (bucket, docid-salt) repartition, so only the small
+        # pre-aggregated (term, blk) level shuffles — round 1's
+        # docid-keyed shuffle of all posting rows was the build's worst
+        # scaling stage.
+        with _whole_files(spark):
+            post = spark.read.parquet(layout.postings(seg)).select(
+                "bucket", "term", "docid", "tf", "exact_tf", "field",
+                "date_insert", "date_modify",
             )
-            bmx = (
-                per_doc.withColumn(
-                    "blk", F.expr(f"shiftrightunsigned(docid, {block_shift})")
-                )
-                .groupBy("bucket", "term", "blk")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum("tfd").alias("hits"),
-                    F.max("tfd").alias("max_tf"),
-                    F.count_if(F.col("etfd") > 0).alias("n_exact"),
-                    F.sum("etfd").alias("sum_etf"),
-                    F.max("etfd").alias("max_etf"),
-                    F.expr("bit_or(fmask)").alias("fmask"),
-                    F.max("dsum").alias("max_dsum"),
-                )
+            per_doc = post.mapInPandas(
+                _per_doc_batches(block_shift),
+                schema=(
+                    "bucket int, term string, blk long, tfd long, etfd long, "
+                    "fmask long, dsum long"
+                ),
+            )
+            bmx = per_doc.groupBy("bucket", "term", "blk").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("tfd").alias("hits"),
+                F.max("tfd").alias("max_tf"),
+                F.count_if(F.col("etfd") > 0).alias("n_exact"),
+                F.sum("etfd").alias("sum_etf"),
+                F.max("etfd").alias("max_etf"),
+                F.expr("bit_or(fmask)").alias("fmask"),
+                F.max("dsum").alias("max_dsum"),
             )
             (
                 bmx.repartition(nb, "bucket")

@@ -436,7 +436,8 @@ def _decode_all(pr: pd.DataFrame):
 def _make_scorer(n_groups: int, phrase_alts: dict[int, dict[int, int]],
                  now_ts: int, weights_by_fid: list[int],
                  prune: dict | None = None,
-                 max_score_val: float | None = None):
+                 max_score_val: float | None = None,
+                 match_only: bool = False):
     """Partition scorer, fully numpy-vectorized (no per-doc Python loop):
     BM25 + AND first; positions decoded in ONE batch pass only for AND
     survivors; phrase adjacency and LCS chain DP as per-group vector
@@ -582,13 +583,16 @@ def _make_scorer(n_groups: int, phrase_alts: dict[int, dict[int, int]],
         # --- BM25 (doc-level tf across fields, per (docid,gid,term)) ----
         # uex duplicates a term within a group (stem + exact expansion on
         # one row) — they are distinct scoring keywords, so uex is a key.
-        per_term = (
-            pdf.groupby(["docid", "gid", "term", "uex"], sort=False)
-            .agg(tfd=("tf", "sum"), idf=("idf", "first"))
-            .reset_index()
-        )
-        per_term["contrib"] = per_term["idf"] * per_term["tfd"] / (per_term["tfd"] + k1)
-        bm25_raw = per_term.groupby("docid", sort=False)["contrib"].sum()
+        if not match_only:
+            per_term = (
+                pdf.groupby(["docid", "gid", "term", "uex"], sort=False)
+                .agg(tfd=("tf", "sum"), idf=("idf", "first"))
+                .reset_index()
+            )
+            per_term["contrib"] = (
+                per_term["idf"] * per_term["tfd"] / (per_term["tfd"] + k1)
+            )
+            bm25_raw = per_term.groupby("docid", sort=False)["contrib"].sum()
 
         # --- AND matching: strict (phrase-free) groups first --------------
         dg = pdf.loc[pdf["is_pm"] == 0, ["docid", "gid"]].drop_duplicates()
@@ -628,6 +632,22 @@ def _make_scorer(n_groups: int, phrase_alts: dict[int, dict[int, int]],
         att = pr.drop_duplicates("docid").set_index("docid")[
             ["lang", "date_insert", "date_modify"]
         ]
+
+        if match_only:
+            # membership only (facet path, Q13): AND + phrase validation
+            # done above — skip BM25/LCS/positional scoring entirely
+            z = np.zeros(len(att))
+            yield pd.DataFrame(
+                {
+                    "docid": att.index.to_numpy(),
+                    "weight_raw": z, "score": z, "bm25": z, "prox": z,
+                    "fresh": z,
+                    "lang": att["lang"].to_numpy(),
+                    "date_insert": att["date_insert"].to_numpy(),
+                    "date_modify": att["date_modify"].to_numpy(),
+                }
+            )
+            return
 
         # --- WAND-spirit pruning: bound pass on tf-level data -------------
         if prune is not None and len(pr) and prune["topn"] < len(att):
@@ -703,9 +723,13 @@ def score_matches(
     prune: dict | None = None,
     _ctx: dict | None = None,
     categories: list[str] | None = None,
+    match_only: bool = False,
 ) -> DataFrame:
     """Match + score all documents for `query`; returns the scored set
     (docid, weight_raw, score, …) BEFORE ordering/limit.
+
+    ``match_only`` (facet path) keeps exact AND/phrase matching but
+    skips all scoring work; score columns come back zero.
 
     ``categories`` appends the reference's '@category_search "__a__"|…'
     filter group and widens maxScore by the category weight per selected
@@ -767,7 +791,7 @@ def score_matches(
     weights_by_fid = [FIELD_WEIGHTS[name] for name in FIELD_NAMES]
     scorer = _make_scorer(
         len(query.groups), phrase_alts, now_ts, weights_by_fid, prune,
-        max_score_val,
+        max_score_val, match_only,
     )
     shuffle_n = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
     shift = meta.block_shift

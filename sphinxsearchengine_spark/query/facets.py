@@ -27,7 +27,9 @@ def category_facet(
     (the reference ksorts the deduped list)."""
     from sphinxsearchengine_spark.query.executor import live_docs, score_matches
 
-    matched = score_matches(spark, index_dir, query, langs, now_ts).select("docid")
+    matched = score_matches(
+        spark, index_dir, query, langs, now_ts, match_only=True
+    ).select("docid")
     docs = live_docs(spark, index_dir).select("docid", "category")
     return (
         docs.join(matched, "docid", "left_semi")

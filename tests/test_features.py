@@ -80,6 +80,22 @@ class TestSnippets:
         assert out and all("<b>hotterm</b>" in r.snippet for r in out)
 
 
+class TestMatchOnly:
+    def test_same_membership_as_scored(self, spark, idx):
+        """Facet fast path (match_only) must keep the exact match set —
+        AND and phrase semantics intact, scoring skipped."""
+        from sphinxsearchengine_spark.query.executor import score_matches
+
+        for q in ["index search", '"alpha beta"', "hotterm"]:
+            full = {r.docid for r in
+                    score_matches(spark, idx, q, now_ts=PINNED_NOW).collect()}
+            memb = score_matches(
+                spark, idx, q, now_ts=PINNED_NOW, match_only=True
+            ).collect()
+            assert {r.docid for r in memb} == full, q
+            assert all(r.weight_raw == 0.0 for r in memb)
+
+
 class TestSuggest:
     def test_suggest_typo(self, spark, idx):
         # 'hotterm' is frequent; a 1-edit typo should suggest it back
