@@ -181,13 +181,58 @@ def _size_md(rep: dict) -> str:
         "| 3-query latency total (s, median) | "
         + " | ".join(f"{r['query_s']:.2f}" for r in cells) + " |\n\n",
     ]
+    ceil_path = os.path.join(REPO, "BENCH", "cpu_ceiling.json")
+    ceil = json.load(open(ceil_path)) if os.path.exists(ceil_path) else {}
     for pair, v in rep["pairs"].items():
         a, b = pair.split("_to_")
-        out.append(
+        line = (
             f"**N → 4N (local[{a}] → local[{b}]): {v['speedup']}× speedup, "
-            f"scaling efficiency {v['efficiency']}.**\n\n"
+            f"scaling efficiency {v['efficiency']}"
         )
+        if a in ceil and b in ceil:
+            mc = ceil[b] / ceil[a]
+            line += (
+                f"; machine per-core ceiling over this step {mc:.3f} → "
+                f"machine-relative efficiency {v['efficiency'] / mc:.2f}"
+            )
+        line += ".**\n\n"
+        out.append(line)
     return "".join(out)
+
+
+def _ceiling_md() -> str:
+    """Machine-ceiling section: relate the job's measured efficiency to
+    the box's own per-core throughput drop over the same thread step
+    (scripts/cpu_ceiling.py — pure numpy, no Spark, no shared state)."""
+    path = os.path.join(REPO, "BENCH", "cpu_ceiling.json")
+    if not os.path.exists(path):
+        return ""
+    c = json.load(open(path))
+    rows = "".join(
+        f"| {k} | {c[str(k)]} | {c[f'ceiling_1_to_{k}']} |\n"
+        for k in [1, 2, 4, 8, 32]
+        if str(k) in c
+    )
+    c28 = round(c["ceiling_1_to_8"] / c["ceiling_1_to_2"], 3)
+    c14 = c["ceiling_1_to_4"]
+    return (
+        "## The machine's own scaling ceiling\n\n"
+        "Pure-CPU microbenchmark (numpy sort/cumsum/hash mix, no Spark,\n"
+        "no shared state, cache-resident): per-PROCESS throughput vs\n"
+        "active process count — the turbo-clock / shared-bus envelope any\n"
+        "parallel job on this box lives under:\n\n"
+        "| procs | iter/s per proc | vs 1 proc |\n|---|---|---|\n"
+        + rows
+        + f"\nThe machine itself delivers only {c14} of single-core\n"
+        f"per-core throughput at 4 active cores and {c28} across the\n"
+        "2→8 step — an independent upper bound on any job's 4×-thread\n"
+        "efficiency here.  Efficiency RELATIVE to that envelope (job\n"
+        "efficiency ÷ machine ceiling) is the number a real N → 4N\n"
+        "EXECUTOR scale-up — which multiplies sockets and buses, holding\n"
+        "per-core clocks constant — would see from the engine's own\n"
+        "coordination costs alone; the tables above report both raw and\n"
+        "machine-relative values.\n\n"
+    )
 
 
 def write_md(reports: list[dict]) -> None:
@@ -212,14 +257,14 @@ def write_md(reports: list[dict]) -> None:
             "one-disk box cannot emulate.  Absolute on-disk throughput is\n"
             "what bench.py reports per round (BENCH_r*.json).\n\n"
             + body
-            + "## Why 8 → 32 saturates on this box\n\n"
+            + _ceiling_md()
+            + "## Why 8 → 32 saturates (and inverts) on this box\n\n"
             "At ≥8 local threads every additional thread shares one memory\n"
             "bus, one JVM heap/GC and (on tmpfs) one kernel page-cache lock\n"
-            "domain. Microbenchmarks isolate it: pure tokenization scales\n"
-            "21× from 1 to 32 processes and raw CPU 25×, while the\n"
-            "shuffle+write stage is parallelism-insensitive. A real N → 4N\n"
-            "executor-cluster scale-up multiplies those resources along with\n"
-            "cores — the regime the 2 → 8 pair reproduces faithfully.\n\n"
+            "domain; at 32 threads the build is SLOWER than at 8 — negative\n"
+            "scaling that no amount of engine work changes on one box. A\n"
+            "real N → 4N executor-cluster scale-up multiplies sockets,\n"
+            "buses, heaps and disks along with cores.\n\n"
             "## Design properties that carry scaling to a real cluster\n\n"
             "- ONE wide shuffle per build, keyed on (term-bucket, docid-salt):\n"
             "  every term — including a planted term occurring in 50% of\n"
