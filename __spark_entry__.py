@@ -511,6 +511,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return category_facet(spark, idx, "spark join", now_ts=PINNED_NOW)
     q["engine_facet"] = engine_facet
 
+    def engine_tokenizer(spark, sf):  # rows-only: T1-T6 contract stream
+        from sphinxsearchengine_spark.text.tokenizer import (
+            index_terms, mangle_category, sanitize_query,
+        )
+
+        fixtures = [
+            "Foo_Bar baz-qux",            # T2 blends + parts
+            "Running searches indexed",   # T3 stemming + T5 exact duals
+            "ПОИСК Запросы x y",          # T1 Cyrillic fold + T4 min-len
+            "a1-b2&c3+d4@e5$f6",          # every blend char
+        ]
+        rows = []
+        for i, text in enumerate(fixtures):
+            for pos, term in index_terms(text):
+                rows.append((i, pos, term))
+        rows += [
+            (100, 0, mangle_category("Some Category!")),
+            (101, 0, mangle_category("")),
+            (102, 0, sanitize_query('a [b] "c (d)')),
+        ]
+        return spark.createDataFrame(rows, "fixture int, pos int, term string")
+    q["engine_tokenizer"] = engine_tokenizer
+
+    def engine_field_limit(spark, sf):  # rows-only: Q3 @field restriction
+        from sphinxsearchengine_spark.corpus import PINNED_NOW
+        from sphinxsearchengine_spark.query.executor import search
+
+        idx = _gate_index(spark, sf)
+        res = search(spark, idx, "@title doc", limit=10, now_ts=PINNED_NOW)
+        return res.select("rank", "docid", F.round("score", 6).alias("score"))
+    q["engine_field_limit"] = engine_field_limit
+
+    def engine_order_by(spark, sf):  # rows-only: Q9 whitelist sorts
+        from sphinxsearchengine_spark.corpus import PINNED_NOW
+        from sphinxsearchengine_spark.query.executor import search
+
+        idx = _gate_index(spark, sf)
+        out = None
+        for order_by, sort in [("date_insert", "asc"), ("date_modify", "desc")]:
+            res = search(
+                spark, idx, "spark join", limit=5, now_ts=PINNED_NOW,
+                order_by=order_by, sort=sort,
+            ).select(
+                F.lit(f"{order_by}_{sort}").alias("ord"), "rank", "docid",
+                "date_insert", "date_modify",
+            )
+            out = res if out is None else out.unionByName(res)
+        return out
+    q["engine_order_by"] = engine_order_by
+
     def engine_lifecycle(spark, sf):  # rows-only: S3/S4/S6 visibility
         from sphinxsearchengine_spark.config import EngineConfig
         from sphinxsearchengine_spark.corpus import PINNED_NOW, derive_documents
