@@ -702,7 +702,7 @@ def oracle_sql() -> dict[str, str]:
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         )
-        SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+        SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
         FROM g GROUP BY user_id
     """
     sql["rel_pivot"] = """

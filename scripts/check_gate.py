@@ -31,6 +31,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def stringify(df: pd.DataFrame) -> pd.DataFrame:
+    """Mirror the driver's value hash: every cell rendered to str, so an
+    int64 56 vs float64 56.0 mismatch (DuckDB HUGEINT sums!) is caught
+    locally instead of only in CORRECTNESS_r{N}.json."""
+    return df.astype(str)
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
 
@@ -90,6 +97,16 @@ def main() -> int:
             )
         except AssertionError as e:
             print(f"FAIL  {name}: values differ: {str(e).splitlines()[-1]}")
+            n_fail += 1
+            continue
+        sa, sb = stringify(a), stringify(b)
+        if not sa.equals(sb):
+            bad = [c for c in sa.columns if not sa[c].equals(sb[c])]
+            print(
+                f"FAIL  {name}: stringified frames differ in {bad} "
+                f"(dtype mismatch? spark={[str(a[c].dtype) for c in bad]} "
+                f"oracle={[str(b[c].dtype) for c in bad]})"
+            )
             n_fail += 1
             continue
         print(f"PASS  {name}: {len(a)} rows ({dt:.1f}s)")
