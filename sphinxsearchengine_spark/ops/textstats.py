@@ -79,11 +79,21 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
-    """(id, fp) — winnowing-style document fingerprint: min xxhash64 over
-    k-token shingles (robust to local edits; deterministic)."""
+def fingerprint(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, fp) — winnowing-style document fingerprint: min hash over
+    k-token shingles (robust to local edits; deterministic).
+
+    ``hash_fn='xxhash64'`` (default, fastest JVM hash, fp is long) or
+    ``'md5'`` (fp is the hex digest string) — md5 exists in DuckDB too,
+    which makes the op value-checkable against an ANSI-SQL oracle."""
     toks = _tokens(F.col(text_col))
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    fp = F.array_min(F.transform(sh, lambda s: F.xxhash64(s)))
+    if hash_fn == "md5":
+        fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    else:
+        fp = F.array_min(F.transform(sh, lambda s: F.xxhash64(s)))
     return df.select(F.col(id_col).alias("id"), fp.alias("fp"))
