@@ -9,11 +9,12 @@ SphinxSearchEngine_class.php:397-453) streams a SQL join through batched
         the vectorized analog of the reference's per-row PHP loop)
       → postings rows (term, field, docid, tf, varbyte positions, attrs)
       → repartition on (term-bucket, docid-salt)       [the ONE shuffle]
-      → sortWithinPartitions(term, field, docid)
-      → write parquet partitioned by bucket
-    dictionary = re-read postings → two-level agg (docid-exact df/hits)
-    docs table = hash-partitioned + docid-sorted files (row-group
-        min/max pruning for hydration joins, no sampling pass)
+      → fused reducer task: sort (bucket, term, field, docid), write the
+        sorted per-bucket postings parquet files as a side output, and
+        emit the per-(term, docid) rollup rows
+      → groupBy (bucket, term, blk) → blockmax table   [tiny shuffle]
+    dictionary = blockmax rollup (blocks partition each term's docids)
+    docs table = straight parallel write; n_docs observed on the write
 
 Salting: the docid-salt spreads every term — hot or not — across
 ``salt_factor`` reducers per bucket, so a term occurring in 50% of all
@@ -397,15 +398,67 @@ class _whole_files:
         self.spark.conf.set("spark.sql.files.openCostInBytes", self.old_open)
 
 
+ROLLUP_SCHEMA = (
+    "bucket int, term string, blk long, tfd long, etfd long, "
+    "fmask long, dsum long"
+)
+
+
+def _rollup_pdf(pdf: pd.DataFrame, block_shift: int) -> pd.DataFrame:
+    """Doc-level rollup of one partition's postings rows (numpy): one row
+    per (term, docid) with tf/exact-tf sums, field mask, freshness sum
+    and the docid's block id.  Exact only when the partition holds EVERY
+    row of each (term, docid) it touches — guaranteed by the
+    (bucket, docid-salt) partitioning (term fixes bucket, docid fixes
+    salt)."""
+    import numpy as np
+
+    tcode, tuniq = pd.factorize(pdf["term"], sort=False)
+    pairs = np.stack(
+        [tcode.astype(np.int64), pdf["docid"].to_numpy(np.int64)], axis=1
+    )
+    uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+    n = len(uniq)
+    tfd = np.zeros(n, np.int64)
+    etfd = np.zeros(n, np.int64)
+    fmask = np.zeros(n, np.int64)
+    np.add.at(tfd, inv, pdf["tf"].to_numpy(np.int64))
+    np.add.at(etfd, inv, pdf["exact_tf"].to_numpy(np.int64))
+    np.bitwise_or.at(
+        fmask, inv, np.int64(1) << pdf["field"].to_numpy(np.int64)
+    )
+    dsum = np.zeros(n, np.int64)
+    np.maximum.at(
+        dsum, inv,
+        pdf["date_insert"].to_numpy(np.int64)
+        + pdf["date_modify"].to_numpy(np.int64),
+    )
+    bucket = np.zeros(n, np.int32)
+    bucket[inv] = pdf["bucket"].to_numpy(np.int32)
+    docids = uniq[:, 1]
+    blk = (docids.astype(np.uint64) >> np.uint64(block_shift)).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "bucket": bucket,
+            "term": np.asarray(tuniq, dtype=object)[uniq[:, 0]],
+            "blk": blk,
+            "tfd": tfd,
+            "etfd": etfd,
+            "fmask": fmask,
+            "dsum": dsum,
+        }
+    )
+
+
 def _per_doc_batches(block_shift: int):
-    """Partition-local doc-level rollup of postings rows (numpy).
+    """Partition-local doc-level rollup of postings rows (resume
+    fallback path: blockmax derived by re-reading written postings).
 
     Exactness relies on the write layout: postings are partitioned by
     (bucket, docid-salt) before the per-bucket write, so ALL rows of one
     (term, docid) live in one file, and _whole_files keeps files intact
     per input partition — no shuffle needed for the docid level.
     """
-    import numpy as np
 
     def gen(pdf_iter):
         # one partition == one postings file (see _whole_files), but
@@ -417,43 +470,104 @@ def _per_doc_batches(block_shift: int):
         else:
             pdf = None
         if pdf is not None and len(pdf):
-            tcode, tuniq = pd.factorize(pdf["term"], sort=False)
-            pairs = np.stack(
-                [tcode.astype(np.int64), pdf["docid"].to_numpy(np.int64)], axis=1
+            yield _rollup_pdf(pdf, block_shift)
+
+    return gen
+
+
+# Arrow schema of one postings file — must stay byte-compatible with
+# what Spark's own parquet writer produced in rounds 1-2 (readers are
+# unchanged; `bucket` lives in the directory name, hive-style).
+def _postings_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("term", pa.string()),
+            ("field", pa.int32()),
+            ("docid", pa.int64()),
+            ("tf", pa.int32()),
+            ("exact_tf", pa.int32()),
+            ("pos_vb", pa.binary()),
+            ("lang", pa.string()),
+            ("date_insert", pa.int64()),
+            ("date_modify", pa.int64()),
+        ]
+    )
+
+
+def _task_write_parquet(base: str, bucket: int, pid: int, table) -> None:
+    """Executor-side parquet write of one bucket's rows to
+    ``base/bucket=<b>/part-<pid>.parquet``.
+
+    The filename is DETERMINISTIC per shuffle partition, and the write
+    goes through tmp+rename on rename-capable filesystems, so task
+    retries / speculative attempts overwrite idempotently with
+    bit-identical content (partition contents are a pure function of the
+    deterministic hash partitioning and the (bucket,term,field,docid)
+    sort; that key is unique per row, so the sort is total)."""
+    import pyarrow.parquet as pq
+
+    from sphinxsearchengine_spark import fs as _fs
+
+    fname = f"part-{pid:05d}.parquet"
+    if _fs.is_local(base):
+        import os as _os
+
+        d = _os.path.join(_fs.strip_file_scheme(base), f"bucket={bucket}")
+        _os.makedirs(d, exist_ok=True)
+        tmp = _os.path.join(d, f".{fname}.tmp")
+        pq.write_table(table, tmp, compression="snappy")
+        _os.replace(tmp, _os.path.join(d, fname))
+    else:
+        # object stores / HDFS from an executor: pyarrow.fs (the driver's
+        # JVM-backed fs.py helpers are not reachable here).  PUT is
+        # atomic on object stores; HDFS gets create-then-rename via
+        # pyarrow's HadoopFileSystem semantics.
+        from pyarrow import fs as pafs
+
+        fsys, rel = pafs.FileSystem.from_uri(f"{base}/bucket={bucket}/{fname}")
+        fsys.create_dir(rel.rsplit("/", 1)[0], recursive=True)
+        pq.write_table(table, rel, filesystem=fsys, compression="snappy")
+
+
+def _postings_writer_and_rollup(postings_path: str, block_shift: int):
+    """Fused postings-write + blockmax-rollup task (ONE pass).
+
+    Each task of the (bucket, docid-salt)-partitioned shuffle sorts its
+    rows by (bucket, term, field, docid), writes one sorted parquet file
+    per bucket it holds as a SIDE OUTPUT (same layout the dynamic
+    partitionBy writer produced), and *returns* the per-(term, docid)
+    rollup rows that feed the blockmax aggregation — so blockmax no
+    longer costs a second full read of the postings (the round-2 17%
+    build regression, VERDICT r2 #3)."""
+    import pyarrow as pa
+    from pyspark import TaskContext
+
+    cols = [
+        "term", "field", "docid", "tf", "exact_tf", "pos_vb", "lang",
+        "date_insert", "date_modify",
+    ]
+
+    def gen(pdf_iter):
+        chunks = list(pdf_iter)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        if not len(pdf):
+            return
+        pid = TaskContext.get().partitionId()
+        pdf = pdf.sort_values(
+            ["bucket", "term", "field", "docid"], kind="mergesort",
+            ignore_index=True,
+        )
+        schema = _postings_arrow_schema()
+        for b, grp in pdf.groupby("bucket", sort=True):
+            table = pa.Table.from_pandas(
+                grp[cols], schema=schema, preserve_index=False
             )
-            uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
-            n = len(uniq)
-            tfd = np.zeros(n, np.int64)
-            etfd = np.zeros(n, np.int64)
-            fmask = np.zeros(n, np.int64)
-            np.add.at(tfd, inv, pdf["tf"].to_numpy(np.int64))
-            np.add.at(etfd, inv, pdf["exact_tf"].to_numpy(np.int64))
-            np.bitwise_or.at(
-                fmask, inv, np.int64(1) << pdf["field"].to_numpy(np.int64)
-            )
-            dsum = np.zeros(n, np.int64)
-            np.maximum.at(
-                dsum, inv,
-                pdf["date_insert"].to_numpy(np.int64)
-                + pdf["date_modify"].to_numpy(np.int64),
-            )
-            bucket = np.zeros(n, np.int32)
-            bucket[inv] = pdf["bucket"].to_numpy(np.int32)
-            docids = uniq[:, 1]
-            blk = (docids.astype(np.uint64) >> np.uint64(block_shift)).astype(
-                np.int64
-            )
-            yield pd.DataFrame(
-                {
-                    "bucket": bucket,
-                    "term": np.asarray(tuniq, dtype=object)[uniq[:, 0]],
-                    "blk": blk,
-                    "tfd": tfd,
-                    "etfd": etfd,
-                    "fmask": fmask,
-                    "dsum": dsum,
-                }
-            )
+            _task_write_parquet(postings_path, int(b), pid, table)
+        yield _rollup_pdf(pdf, block_shift)
 
     return gen
 
@@ -511,17 +625,63 @@ def build_segment(
         # join of k docids against this table (executor.py S8), which
         # pushes no docid range predicate, so the round-1 docid
         # repartition+sort bought nothing and moved the heaviest bytes
-        # (content) through an exchange.  The n_docs count reads parquet
-        # footers only.
-        documents.select(*doc_cols).write.mode("overwrite").parquet(
-            layout.docs(seg)
+        # (content) through an exchange.  n_docs comes from an observed
+        # metric on the write itself — no separate count job.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        (
+            documents.select(*doc_cols)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(layout.docs(seg))
         )
-        n_docs = spark.read.parquet(layout.docs(seg)).count()
+        n_docs = int(obs.get["n"])
         mark("docs", path=layout.docs(seg), n_docs=n_docs)
 
     parallelism = spark.sparkContext.defaultParallelism
 
+    if block_shift is None:
+        block_shift = stages.get("blockmax", {}).get("block_shift")
+    if block_shift is None:
+        block_shift = block_shift_for(stages["docs"]["n_docs"])
+
+    def _agg_blockmax(per_doc: DataFrame) -> None:
+        # Per-block max-score metadata (the north rule's block-max WAND
+        # substrate): one row per (term, ~128-docid block) with doc
+        # count, tf/exact-tf bounds, per-field presence mask and
+        # freshness bound.  The query planner prunes whole blocks from
+        # the postings scan before any positional work
+        # (query/executor._plan_blocks).  Only these pre-aggregated
+        # (term, blk) rows shuffle — the docid level never does.
+        bmx = per_doc.groupBy("bucket", "term", "blk").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("tfd").alias("hits"),
+            F.max("tfd").alias("max_tf"),
+            F.count_if(F.col("etfd") > 0).alias("n_exact"),
+            F.sum("etfd").alias("sum_etf"),
+            F.max("etfd").alias("max_etf"),
+            F.expr("bit_or(fmask)").alias("fmask"),
+            F.max("dsum").alias("max_dsum"),
+        )
+        (
+            bmx.repartition(nb, "bucket")
+            .sortWithinPartitions("bucket", "term", "blk")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(layout.blockmax(seg))
+        )
+
     if not done("postings"):
+        # FUSED postings+blockmax: one tokenize pass, ONE wide shuffle on
+        # (bucket, docid-salt); each reducer task sorts its rows, writes
+        # the sorted per-bucket postings files itself (deterministic
+        # names → idempotent retries), and emits the per-(term, docid)
+        # rollup that the blockmax aggregation consumes — the postings
+        # bytes are never re-read (round 2 paid a second full scan).
+        from sphinxsearchengine_spark import fs
+
+        fs.delete(layout.postings(seg))  # clean slate for side-output files
         with _split_hint(spark, layout.docs(seg), parallelism * 2):
             tok_src = spark.read.parquet(layout.docs(seg)).select(
                 "docid", "path", "lang", "content", "category_search",
@@ -540,67 +700,34 @@ def build_segment(
             ).withColumn(
                 "salt", F.pmod(F.xxhash64("docid"), F.lit(salt_factor)).cast("int")
             )
-            # bucket leads the sort so the dynamic-partition writer sees its
-            # required ordering (no second sort) and files stay
-            # (term, field, docid)-sorted inside each bucket — the sorted
-            # runs the WAND/merge readers rely on.
-            (
+            per_doc = (
                 tok.repartition(nb * salt_factor, "bucket", "salt")
                 .drop("salt")
-                .sortWithinPartitions("bucket", "term", "field", "docid")
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(layout.postings(seg))
+                .mapInPandas(
+                    _postings_writer_and_rollup(
+                        layout.postings(seg), block_shift
+                    ),
+                    schema=ROLLUP_SCHEMA,
+                )
             )
+            _agg_blockmax(per_doc)
         mark("postings", path=layout.postings(seg), salt_factor=salt_factor)
-
-    if block_shift is None:
-        block_shift = stages.get("blockmax", {}).get("block_shift")
-    if block_shift is None:
-        block_shift = block_shift_for(stages["docs"]["n_docs"])
+        mark("blockmax", path=layout.blockmax(seg), block_shift=block_shift)
 
     if not done("blockmax"):
-        # Per-block max-score metadata (the north rule's block-max WAND
-        # substrate): one row per (term, 128-docid block) with doc count,
-        # tf/exact-tf bounds, per-field presence mask and freshness bound.
-        # The query planner prunes whole blocks from the postings scan
-        # before any positional work (query/executor._plan_blocks).
-        #
-        # The doc-level rollup is PARTITION-LOCAL (numpy in mapInPandas):
-        # the postings write co-located every (term, docid) in one file
-        # via the (bucket, docid-salt) repartition, so only the small
-        # pre-aggregated (term, blk) level shuffles — round 1's
-        # docid-keyed shuffle of all posting rows was the build's worst
-        # scaling stage.
+        # Resume fallback (postings completed by an earlier run whose
+        # blockmax didn't): derive the rollup by re-reading the postings
+        # whole-file, partition-local (the write co-located every
+        # (term, docid) in one file).
         with _whole_files(spark):
             post = spark.read.parquet(layout.postings(seg)).select(
                 "bucket", "term", "docid", "tf", "exact_tf", "field",
                 "date_insert", "date_modify",
             )
             per_doc = post.mapInPandas(
-                _per_doc_batches(block_shift),
-                schema=(
-                    "bucket int, term string, blk long, tfd long, etfd long, "
-                    "fmask long, dsum long"
-                ),
+                _per_doc_batches(block_shift), schema=ROLLUP_SCHEMA
             )
-            bmx = per_doc.groupBy("bucket", "term", "blk").agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("tfd").alias("hits"),
-                F.max("tfd").alias("max_tf"),
-                F.count_if(F.col("etfd") > 0).alias("n_exact"),
-                F.sum("etfd").alias("sum_etf"),
-                F.max("etfd").alias("max_etf"),
-                F.expr("bit_or(fmask)").alias("fmask"),
-                F.max("dsum").alias("max_dsum"),
-            )
-            (
-                bmx.repartition(nb, "bucket")
-                .sortWithinPartitions("bucket", "term", "blk")
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(layout.blockmax(seg))
-            )
+            _agg_blockmax(per_doc)
         mark("blockmax", path=layout.blockmax(seg), block_shift=block_shift)
 
     if not done("dict"):
