@@ -68,6 +68,8 @@ def _docs_as_corpus(spark, sf_dir):
 # One shared engine index per sf_dir: the engine_* gate entries are all
 # read-only over it, so the (expensive) build runs once per gate pass.
 _GATE_IDX: dict[str, str] = {}
+# Persisted LSH-bucketed embeddings per sf_dir (the ANN index build).
+_ANN_IDX: dict[str, str] = {}
 
 
 def _gate_index(spark, sf) -> str:
@@ -444,13 +446,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann_lsh_topk(spark, sf):  # golden VALUES oracle (sf0.01 snapshot):
         # hyperplane signs need numpy RandomState, not ANSI-SQL; the
         # deterministic output is pinned and equality-vs-brute-force is
-        # pytest-asserted
-        from sphinxsearchengine_spark.ops.similarity import lsh_topk
+        # pytest-asserted.  Runs the PERSISTED-bucket serving path: the
+        # bucket column is materialized to parquet once per sf (the ANN
+        # index build) and each query prunes the scan with a pushed
+        # bucket IN (probes) filter.
+        from sphinxsearchengine_spark.ops.similarity import (
+            lsh_topk, with_lsh_buckets,
+        )
 
         emb = _t(spark, sf, "embeddings")
         qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
-        return lsh_topk(emb, "vec_id", "embedding", qvec, k=10, n_planes=8,
-                        probe_hamming=2, exclude_id=0)
+        if sf not in _ANN_IDX:
+            path = os.path.join(tempfile.mkdtemp(prefix="sse_ann_"), "emb_lsh")
+            with_lsh_buckets(emb, "embedding", n_planes=8).write.parquet(path)
+            _ANN_IDX[sf] = path
+        bucketed = spark.read.parquet(_ANN_IDX[sf])
+        return lsh_topk(bucketed, "vec_id", "embedding", qvec, k=10,
+                        n_planes=8, probe_hamming=2, exclude_id=0,
+                        bucket_col="lsh_bucket")
     q["ann_lsh_topk"] = ann_lsh_topk
 
     def engine_search(spark, sf):  # rows-only: LCS proximity + stemmed

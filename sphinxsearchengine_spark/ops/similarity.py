@@ -81,6 +81,40 @@ def lsh_bucket_col(vec_col, planes: np.ndarray):
     return out
 
 
+def with_lsh_buckets(
+    df: DataFrame, vec_col: str, n_planes: int = 12, seed: int = 42,
+    bucket_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Attach the persistent sign-bucket column — the ANN *index build*
+    step.  Write the result to parquet once; every query then prunes its
+    scan with a pushed ``bucket IN (probes)`` filter instead of
+    recomputing signatures over the full table (at 10^12 rows the
+    on-the-fly path is a full scan per query — the round-2 scale hole).
+
+    The planes are a pure function of (dim, n_planes, seed), so queries
+    reconstruct them without reading the stored vectors."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    return df.withColumn(bucket_col, lsh_bucket_col(F.col(vec_col), planes))
+
+
+def _probe_buckets(query_vec, planes, probe_hamming: int) -> list[int]:
+    """Query signature + all buckets within the given Hamming radius."""
+    n_planes = len(planes)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(p, query_vec)) > 0:
+            qsig |= 1 << i
+    probes = {qsig}
+    if probe_hamming >= 1:
+        probes |= {qsig ^ (1 << i) for i in range(n_planes)}
+    if probe_hamming >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qsig ^ (1 << i) ^ (1 << j))
+    return sorted(probes)
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str,
@@ -90,24 +124,25 @@ def lsh_topk(
     n_planes: int = 12,
     probe_hamming: int = 1,
     exclude_id: int | None = None,
+    bucket_col: str | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Approximate cosine top-k: restrict to vectors whose hyperplane
     sign-bucket is within `probe_hamming` bits of the query's bucket,
-    then rerank exactly.  Bucket column would be precomputed/persisted
-    in a real deployment (here derived on the fly)."""
-    planes = hyperplanes(len(query_vec), n_planes)
-    qsig = 0
-    for i, p in enumerate(planes):
-        if float(np.dot(p, query_vec)) > 0:
-            qsig |= 1 << i
-    # enumerate probe buckets within hamming radius
-    probes = {qsig}
-    if probe_hamming >= 1:
-        probes |= {qsig ^ (1 << i) for i in range(n_planes)}
-    if probe_hamming >= 2:
-        for i in range(n_planes):
-            for j in range(i + 1, n_planes):
-                probes.add(qsig ^ (1 << i) ^ (1 << j))
-    bucketed = df.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes))
-    cand = bucketed.filter(F.col("_bucket").isin(list(probes)))
+    then rerank exactly.
+
+    ``bucket_col``: name of a PERSISTED bucket column previously
+    materialized by :func:`with_lsh_buckets` (with the same n_planes and
+    seed).  The probe filter is then an ``IN`` predicate on a stored
+    column — pushed into the parquet scan, so only probe buckets' row
+    groups are read.  Without it the bucket is derived on the fly (full
+    scan; fine for one-off batch queries, wrong as the steady-state
+    serving path)."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    probes = _probe_buckets(query_vec, planes, probe_hamming)
+    if bucket_col is not None:
+        cand = df.filter(F.col(bucket_col).isin(probes))
+    else:
+        bucketed = df.withColumn("_bucket", lsh_bucket_col(F.col(vec_col), planes))
+        cand = bucketed.filter(F.col("_bucket").isin(probes))
     return cosine_topk(cand, id_col, vec_col, query_vec, k, exclude_id)

@@ -20,7 +20,11 @@ from sphinxsearchengine_spark.ops.multimodal import (
     frame_sample_plan,
     synth_media,
 )
-from sphinxsearchengine_spark.ops.similarity import cosine_topk, lsh_topk
+from sphinxsearchengine_spark.ops.similarity import (
+    cosine_topk,
+    lsh_topk,
+    with_lsh_buckets,
+)
 from sphinxsearchengine_spark.ops.textstats import (
     fingerprint,
     lang_id,
@@ -131,6 +135,30 @@ class TestSimilarity:
         approx = {r.id for r in lsh_topk(df, "id", "vec", qv, 10, n_planes=8,
                                          probe_hamming=2, exclude_id=3).collect()}
         assert len(exact & approx) >= 5  # recall@10 >= 0.5 on random data
+
+    def test_persisted_buckets_identical_and_pushed(self, spark, tmp_path):
+        # the persisted-bucket serving path must (a) return exactly the
+        # on-the-fly result and (b) push the bucket IN-filter into the
+        # parquet scan (the 10^12-row story: probe buckets only)
+        rng = np.random.RandomState(13)
+        vecs = rng.randn(120, 16).astype("float32")
+        qv = vecs[2].tolist()
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "id long, vec array<float>",
+        )
+        path = str(tmp_path / "emb_lsh")
+        with_lsh_buckets(df, "vec", n_planes=8).write.parquet(path)
+        stored = spark.read.parquet(path)
+        fly = lsh_topk(df, "id", "vec", qv, 10, n_planes=8,
+                       probe_hamming=2, exclude_id=2).collect()
+        per = lsh_topk(stored, "id", "vec", qv, 10, n_planes=8,
+                       probe_hamming=2, exclude_id=2,
+                       bucket_col="lsh_bucket")
+        assert [tuple(r) for r in per.collect()] == [tuple(r) for r in fly]
+        plan = per._jdf.queryExecution().executedPlan().toString()
+        pushed = plan.split("PushedFilters", 1)[1][:400]
+        assert "lsh_bucket" in pushed and "In(" in pushed
 
 
 class TestTextStats:
