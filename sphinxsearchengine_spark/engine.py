@@ -126,7 +126,10 @@ class Searcher:
     def suggest(self, raw_query: str) -> str | None:
         from sphinxsearchengine_spark.query.suggest import did_you_mean
 
-        return did_you_mean(self.spark, self.index_dir, raw_query)
+        # pinned dictionary → zero Spark jobs for the whole suggestion
+        return did_you_mean(
+            self.spark, self.index_dir, raw_query, _ctx=self._ctx()
+        )
 
     def refresh(self) -> None:
         """Re-pin state after lifecycle mutations (upsert/delete/compact)."""

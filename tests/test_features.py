@@ -111,6 +111,39 @@ class TestSuggest:
     def test_did_you_mean_all_known(self, spark, idx):
         assert did_you_mean(spark, idx, "hotterm index") is None
 
+    def test_multi_typo_batched_one_job(self, spark, idx):
+        # three typos must cost exactly the same number of Spark jobs as
+        # one typo (the round-2 path ran one job PER keyword — N+1);
+        # absolute counts are AQE-stage-dependent, the ratio is not
+        sc = spark.sparkContext
+
+        def njobs(group, q):
+            sc.setJobGroup(group, "suggest job-count probe")
+            try:
+                out = did_you_mean(spark, idx, q)
+            finally:
+                sc.setJobGroup(None, None)
+            assert out is not None
+            return len(sc.statusTracker().getJobIdsForGroup(group))
+
+        one = njobs("dym_one", "hottern index")
+        three = njobs("dym_three", "hottern parsr mergee")
+        assert three <= one, f"3-typo query cost {three} jobs vs {one} for 1 typo"
+
+    def test_searcher_suggest_zero_jobs(self, spark, idx):
+        # pinned dictionary: the whole did-you-mean path runs driver-side
+        from sphinxsearchengine_spark.engine import Searcher
+
+        s = Searcher(spark, idx)
+        sc = spark.sparkContext
+        sc.setJobGroup("dym_pinned", "suggest job-count probe")
+        try:
+            out = s.suggest("hottern parsr")
+        finally:
+            sc.setJobGroup(None, None)
+        assert out is not None and out.split()[0] == "hotterm"
+        assert len(sc.statusTracker().getJobIdsForGroup("dym_pinned")) == 0
+
 
 class TestFacets:
     def test_category_facet(self, spark, idx):
