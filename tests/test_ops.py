@@ -82,6 +82,64 @@ class TestDedup:
                                          paired_bands=True).collect()}
         assert base == paired
 
+    def test_simhash_auto_mode_switch(self, spark, docs, monkeypatch):
+        """'auto' (default) picks 16-bit banding under the threshold and
+        paired_bands above it — identical pairs either way."""
+        import sphinxsearchengine_spark.ops.dedup as dd
+
+        base = {(r.id_a, r.id_b, r.hamming)
+                for r in simhash_pairs(docs, "id", "text", max_hamming=3,
+                                       paired_bands=False).collect()}
+        auto_small = {(r.id_a, r.id_b, r.hamming)
+                      for r in simhash_pairs(docs, "id", "text",
+                                             max_hamming=3).collect()}
+        monkeypatch.setattr(dd, "SIMHASH_PAIRED_BANDS_MIN_DOCS", 0)
+        auto_big = {(r.id_a, r.id_b, r.hamming)
+                    for r in simhash_pairs(docs, "id", "text",
+                                           max_hamming=3).collect()}
+        assert base == auto_small == auto_big
+
+    def test_jaccard_prefix_filter_vs_bruteforce(self, spark):
+        """The prefix-filtered join must return EXACTLY the brute-force
+        all-pairs result (numpy oracle) on a corpus with mixed overlap."""
+        import itertools
+
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = []
+        for i in range(40):
+            n = 8 + int(rng.randint(0, 15))
+            words = [vocab[rng.randint(0, 30)] for _ in range(n)]
+            rows.append((i, " ".join(words)))
+            if rng.randint(0, 3) == 0:  # planted near-dup
+                mutated = list(words)
+                mutated[rng.randint(0, n)] = vocab[rng.randint(0, 30)]
+                rows.append((1000 + i, " ".join(mutated)))
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(
+                df, "id", "text", threshold=0.3, stop_shingle_df=None
+            ).collect()
+        }
+        # brute-force oracle over k=3 shingle string sets
+        sets = {}
+        for i, t in rows:
+            toks = t.split()
+            sets[i] = {
+                " ".join(toks[j:j + 3]) for j in range(len(toks) - 2)
+            } if len(toks) >= 3 else set()
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            if not sets[a] or not sets[b]:
+                continue
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= 0.3:
+                want[(a, b)] = round(j, 6)
+        assert got == want
+
     def test_minhash_signature_batch_consistency(self, spark, docs):
         """Signatures must be identical regardless of batching/partition
         layout (content-derived hashing, no batch-local state)."""
