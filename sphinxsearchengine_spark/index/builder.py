@@ -202,10 +202,15 @@ def _field_postings(texts, docids, langs, dis, dms, fid):
 
     from sphinxsearchengine_spark.text import charset
 
-    # match UNFOLDED token spans (identical span structure; folding
-    # happens once per unique token inside the emission table)
+    # NFC-normalize whole texts first (T7): composition changes char
+    # counts, so span matching must see normalized input.  Tokens are
+    # then NFC-stable (token-class chars are non-combining and
+    # NFC-invariant), so the per-unique-token fold stays a plain
+    # case-fold translate.  Match UNFOLDED token spans (identical span
+    # structure; folding happens once per unique token inside the
+    # emission table).
     findall = charset.PRIMARY_TOKEN_UNFOLDED_RE.findall
-    tok_lists = [findall(t) if t else [] for t in texts]
+    tok_lists = [findall(charset.nfc(t)) if t else [] for t in texts]
     counts = np.fromiter((len(x) for x in tok_lists), np.int64, len(tok_lists))
     n_occ = int(counts.sum())
     empty = {

@@ -960,16 +960,23 @@ def search(
 
 
 def search_with_meta(spark, index_dir, query, _ctx=None, **kw):
-    """search + SHOW META analog (Q11 total, Q12 per-keyword stats).
+    """search + SHOW META analog (Q11 total, Q12 per-keyword stats,
+    `time` = seconds spent matching+ranking, like the reference's SHOW
+    META time row, SphinxSearchEngine_class.php:202-221).
 
     Single scoring pass: the exhaustive match set is cached, counted for
-    `total`, and re-used for the top-k selection."""
+    `total`, and re-used for the top-k selection.  The top-k result is
+    pinned with localCheckpoint (data stays on executors) rather than a
+    driver collect round-trip."""
+    import time as _time
+
     if isinstance(query, str):
         query = parse_query(query)
     layout = IndexLayout(index_dir)
-    meta: dict = {"total": 0, "keywords": []}
+    meta: dict = {"total": 0, "keywords": [], "time": 0.0}
     if query.blank or not query.groups:
         return search(spark, index_dir, query, _ctx=_ctx, **kw), meta
+    t0 = _time.monotonic()
     scored = score_matches(
         spark, index_dir, query, kw.get("langs"), kw.get("now_ts", 0),
         _ctx=_ctx, categories=kw.get("categories"),
@@ -977,9 +984,14 @@ def search_with_meta(spark, index_dir, query, _ctx=None, **kw):
     try:
         meta["total"] = scored.count()
         res = search(spark, index_dir, query, _ctx=_ctx, _scored=scored, **kw)
-        res = spark.createDataFrame(res.collect(), schema=res.schema)
+        # materialize before unpersist (the plan references the cache);
+        # eager localCheckpoint keeps the k rows executor-side
+        res = res.localCheckpoint(eager=True)
     finally:
         scored.unpersist()
+    # measured wall of the matching+ranking actions; NEVER part of any
+    # score (determinism invariant — wall clock must not affect results)
+    meta["time"] = round(_time.monotonic() - t0, 4)
     dict_pdf = _ctx.get("dict_pdf") if _ctx else None
     _, stats, _b = _expand_groups(spark, layout, query, dict_pdf)
     for g in query.groups:

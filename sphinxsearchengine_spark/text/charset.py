@@ -16,6 +16,7 @@ config omits them, so they act as separators.  We replicate that exactly.
 from __future__ import annotations
 
 import re
+import unicodedata
 
 # Case-fold map: A..Z -> a..z, U+0410..U+042F -> U+0430..U+044F.
 _FOLD = {c: c + 32 for c in range(ord("A"), ord("Z") + 1)}
@@ -52,6 +53,20 @@ LATIN_RE = re.compile(r"^[a-z]+$")
 CYRILLIC_RE = re.compile("^[а-я]+$")
 
 
+def nfc(text: str) -> str:
+    """T7 — Unicode NFC normalization (the reference applies MediaWiki's
+    normalizeForSearch before indexing, SphinxSearchUpdate.php:56).
+    Without it the NFC and NFD spellings of the same word tokenize
+    differently (decomposed é = e + U+0301: the combining mark is a
+    separator, so NFD 'café' would yield token 'cafe' while NFC yields
+    'caf').  ``is_normalized`` short-circuits pure-ASCII text, keeping
+    the bulk-tokenizer hot path unaffected."""
+    if unicodedata.is_normalized("NFC", text):
+        return text
+    return unicodedata.normalize("NFC", text)
+
+
 def fold(text: str) -> str:
-    """Case-fold per charset_table (Latin + basic Cyrillic)."""
-    return text.translate(FOLD_TABLE)
+    """NFC-normalize (T7), then case-fold per charset_table (Latin +
+    basic Cyrillic)."""
+    return nfc(text).translate(FOLD_TABLE)

@@ -54,6 +54,7 @@ def test_vectorized_equals_reference_on_corpus(spark):
         "Running Searches ПОИСК Запросы",    # stems + Cyrillic fold
         "foo_ba foo_ba foo-ba $x @y",        # repeats + short blends
         "a1-b2&c3+d4@e5$f6_g7",              # every blend char
+        "café café résumé",  # T7: NFC + NFD spellings
     ],
 )
 def test_vectorized_equals_reference_edge_cases(text):

@@ -94,3 +94,4 @@ def test_meta_stats(spark, index_env):
     assert meta["total"] == len(oracle.score_matches("hotterm", now_ts=PINNED_NOW))
     assert meta["keywords"][0]["keyword"] == "hotterm"
     assert meta["keywords"][0]["docs"] > 0
+    assert meta["time"] > 0  # SHOW META time row (measured, never scored)

@@ -40,6 +40,17 @@ class TestCharsetFold:
         # 1-char tokens dropped (sphinx.conf:18)
         assert flat("a bc d ef") == [(2, "bc"), (4, "ef")]
 
+    def test_nfc_normalization(self):
+        # T7: NFC and NFD spellings of the same word must produce
+        # identical token streams (SphinxSearchUpdate.php:56 applies
+        # MediaWiki normalizeForSearch before indexing)
+        composed = "caf\u00e9 r\u00e9sum\u00e9"
+        decomposed = "cafe\u0301 re\u0301sume\u0301"
+        assert flat(composed) == flat(decomposed)
+        from sphinxsearchengine_spark.text.tokenizer import index_terms
+
+        assert index_terms(composed) == index_terms(decomposed)
+
 
 class TestBlendChars:
     def test_underscore_blend(self):
