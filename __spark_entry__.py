@@ -624,6 +624,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out
     q["engine_order_by"] = engine_order_by
 
+    def engine_personal_dict(spark, sf):  # Q18 — golden VALUES oracle:
+        # deterministic CRUD sequence on a fresh store (sf-independent;
+        # reference contract SphinxSearch_PersonalDict.php:87-194)
+        from sphinxsearchengine_spark.query import personal_dict as pdict
+
+        d = tempfile.mkdtemp(prefix="sse_pdict_")
+        rows = []
+
+        def snap(phase):
+            for u in ("alice", "bob"):
+                for w in pdict.words(d, u):
+                    rows.append((phase, u, w))
+
+        pdict.add_word(d, "alice", "Kubernetes")
+        pdict.add_word(d, "alice", "pyspark")
+        pdict.add_word(d, "bob", "sphinxql")
+        snap("1_added")
+        assert pdict.add_word(d, "alice", "kubernetes") is False  # dup
+        pdict.remove_word(d, "alice", "pyspark")
+        snap("2_removed")
+        pdict.remove_word(d, "bob", "sphinxql")
+        snap("3_user_emptied")
+        return spark.createDataFrame(rows, "phase string, user string, word string")
+    q["engine_personal_dict"] = engine_personal_dict
+
     def engine_lifecycle(spark, sf):  # rows-only: S3/S4/S6 multi-phase
         # index MUTATION (upsert/delete/compact visibility) has no
         # single-query SQL equivalent; phase snapshots pytest-asserted
@@ -1091,6 +1116,18 @@ def oracle_sql() -> dict[str, str]:
           (4, CAST(3670410356852982612 AS BIGINT), 'key filter vector <b>join</b> order batch key value merge column slow the row order small group data the <b>join</b> value stream slow customer window column vector window the data scan fast agg line '),
           (5, CAST(-4105152916397638867 AS BIGINT), '<b>join</b> table slow <b>join</b> customer a <b>spark</b> agg agg query key data line <b>join</b> <b>spark</b> window order <b>join</b> slow line a line value sort window a query line hash agg line g')
         ) AS t(rank, docid, snippet)
+    """
+
+    # Q18 golden: pure function of the fixed CRUD sequence (sf-independent)
+    sql["engine_personal_dict"] = """
+        SELECT * FROM (VALUES
+          ('1_added', 'alice', 'kubernetes'),
+          ('1_added', 'alice', 'pyspark'),
+          ('1_added', 'bob', 'sphinxql'),
+          ('2_removed', 'alice', 'kubernetes'),
+          ('2_removed', 'bob', 'sphinxql'),
+          ('3_user_emptied', 'alice', 'kubernetes')
+        ) AS t(phase, "user", word)
     """
 
     # ANN-LSH golden snapshot at gate sf (hyperplane signs need numpy

@@ -123,12 +123,12 @@ class Searcher:
 
         return category_facet(self.spark, self.index_dir, query, **kw)
 
-    def suggest(self, raw_query: str) -> str | None:
+    def suggest(self, raw_query: str, user: str | None = None) -> str | None:
         from sphinxsearchengine_spark.query.suggest import did_you_mean
 
         # pinned dictionary → zero Spark jobs for the whole suggestion
         return did_you_mean(
-            self.spark, self.index_dir, raw_query, _ctx=self._ctx()
+            self.spark, self.index_dir, raw_query, _ctx=self._ctx(), user=user
         )
 
     def refresh(self) -> None:

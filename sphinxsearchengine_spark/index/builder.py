@@ -345,7 +345,12 @@ class _split_hint:
     maxPartitionBytes (+4 MB open cost each): a small test corpus would
     otherwise tokenize on ~4 tasks no matter how many cores exist.  At
     production scale (>=128 MB files) the defaults already split fine
-    and this becomes a no-op."""
+    and this becomes a no-op.
+
+    CONCURRENCY: this (and _whole_files) mutates session-level
+    spark.sql.files.* conf for the duration of the stage — run ONE build
+    per SparkSession at a time; for concurrent builds use
+    ``spark.newSession()`` per build so each gets its own conf."""
 
     def __init__(self, spark, path: str, parallelism: int):
         from sphinxsearchengine_spark import fs

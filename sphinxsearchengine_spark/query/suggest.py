@@ -53,6 +53,7 @@ def suggest_terms(
     max_dist: int = 2,
     min_df: int = 1,
     dict_pdf=None,
+    extra_words: list[str] | None = None,
 ) -> dict[str, str | None]:
     """Best dictionary replacement for EVERY word in one pass.
 
@@ -60,11 +61,31 @@ def suggest_terms(
     ``max_dist`` exists or the best candidate is the word itself.
     ``dict_pdf``: Searcher's driver-pinned dictionary frame — when given,
     no Spark job runs at all.
+    ``extra_words``: additional candidate words (the user's personal
+    dictionary, Q18) that outrank index terms on the df tie-break.
     """
     words = [w.lower() for w in words]
     if not words:
         return {}
-    out: dict[str, str | None] = {w: None for w in words}
+    # best candidate per word as a (dist, -df, term) key; min wins —
+    # identical ordering on every path (index terms, personal words)
+    best_key: dict[str, tuple] = {}
+
+    def offer(w: str, key: tuple) -> None:
+        if w in best_key and best_key[w] <= key:
+            return
+        best_key[w] = key
+
+    if extra_words:
+        from sphinxsearchengine_spark.query.personal_dict import PERSONAL_DF
+
+        for w in words:
+            for c in extra_words:
+                if abs(len(c) - len(w)) <= max_dist:
+                    d = _levenshtein(c, w)
+                    if d <= max_dist:
+                        offer(w, (d, -PERSONAL_DF, c))
+
     lens = {len(w) for w in words}
     band_lens = sorted(
         {n + d for n in lens for d in range(-max_dist, max_dist + 1) if n + d > 0}
@@ -79,44 +100,42 @@ def suggest_terms(
         # duplicate terms across segments: sum df like the Spark path
         df_by_term = cand.groupby("term")["df"].sum()
         for w in words:
-            best = None
             for term, dfv in df_by_term.items():
                 if abs(len(term) - len(w)) > max_dist:
                     continue
                 d = _levenshtein(term, w)
                 if d <= max_dist:
-                    key = (d, -int(dfv), term)
-                    if best is None or key < best:
-                        best = key
-            if best is not None and best[0] > 0:
-                out[w] = best[2]
-        return out
+                    offer(w, (d, -int(dfv), term))
+    else:
+        from sphinxsearchengine_spark.query.executor import _live_union
 
-    from sphinxsearchengine_spark.query.executor import _live_union
-
-    layout = IndexLayout(index_dir)
-    dic = _live_union(spark, layout, "dict")
-    wdf = spark.createDataFrame([(w,) for w in words], "word string")
-    j = (
-        dic.filter(
-            (~F.col("term").startswith(EXACT_PREFIX))
-            & F.length("term").isin(band_lens)
-            & (F.col("df") >= min_df)
+        layout = IndexLayout(index_dir)
+        dic = _live_union(spark, layout, "dict")
+        wdf = spark.createDataFrame([(w,) for w in words], "word string")
+        j = (
+            dic.filter(
+                (~F.col("term").startswith(EXACT_PREFIX))
+                & F.length("term").isin(band_lens)
+                & (F.col("df") >= min_df)
+            )
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .join(F.broadcast(wdf),
+                  F.abs(F.length("term") - F.length("word")) <= max_dist)
+            .withColumn("dist", F.levenshtein(F.col("term"), F.col("word")))
+            .filter(F.col("dist") <= max_dist)
         )
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"))
-        .join(F.broadcast(wdf),
-              F.abs(F.length("term") - F.length("word")) <= max_dist)
-        .withColumn("dist", F.levenshtein(F.col("term"), F.col("word")))
-        .filter(F.col("dist") <= max_dist)
-    )
-    best = j.groupBy("word").agg(
-        F.min(F.struct(F.col("dist"), (-F.col("df")).alias("ndf"),
-                       F.col("term"))).alias("b")
-    )
-    for r in best.collect():
-        if r.b.dist > 0:
-            out[r.word] = r.b.term
+        best = j.groupBy("word").agg(
+            F.min(F.struct(F.col("dist"), (-F.col("df")).alias("ndf"),
+                           F.col("term"))).alias("b")
+        )
+        for r in best.collect():
+            offer(r.word, (int(r.b.dist), int(r.b.ndf), r.b.term))
+
+    out: dict[str, str | None] = {w: None for w in words}
+    for w, key in best_key.items():
+        if key[0] > 0:
+            out[w] = key[2]
     return out
 
 
@@ -130,13 +149,18 @@ def suggest_term(
 
 def did_you_mean(
     spark: SparkSession, index_dir: str, raw_query: str, rare_df: int = 1,
-    _ctx: dict | None = None,
+    _ctx: dict | None = None, user: str | None = None,
 ) -> str | None:
     """Rebuild the query with suggestions for unknown/rare keywords;
     None when every keyword is known (reference behavior: only offer a
     suggestion when something actually changed).  All unknown keywords
     resolve in one batched pass (zero Spark jobs with a Searcher-pinned
-    dictionary, one otherwise)."""
+    dictionary, one otherwise).
+
+    ``user``: consult that user's personal dictionary (Q18) — personal
+    words are never flagged as typos and join the candidate pool with
+    top priority, like the reference's pspell personal-dict config
+    (SphinxSearch_spell.php:51-99)."""
     from sphinxsearchengine_spark.query.executor import _expand_groups
 
     q = parse_query(raw_query)
@@ -146,15 +170,25 @@ def did_you_mean(
     dict_pdf = _ctx.get("dict_pdf") if _ctx else None
     _mapping, stats, _b = _expand_groups(spark, layout, q, dict_pdf)
 
+    personal: list[str] = []
+    if user is not None:
+        from sphinxsearchengine_spark.query import personal_dict
+
+        personal = personal_dict.words(index_dir, user)
+    pset = set(personal)
+
     rare: list[str] = []
     for g in q.groups:
         for a in g.alts:
             if a.kind == "phrase":
                 continue
             w = a.words[0]
+            if w.lower() in pset:
+                continue  # personal word — known by definition
             if stats.get(stem_token(w), (0, 0, 0))[0] <= rare_df - 1:
                 rare.append(w)
-    suggestions = suggest_terms(spark, index_dir, rare, dict_pdf=dict_pdf)
+    suggestions = suggest_terms(spark, index_dir, rare, dict_pdf=dict_pdf,
+                                extra_words=personal)
 
     changed = False
     out_words: list[str] = []

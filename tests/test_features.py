@@ -145,6 +145,43 @@ class TestSuggest:
         assert len(sc.statusTracker().getJobIdsForGroup("dym_pinned")) == 0
 
 
+class TestPersonalDict:
+    """Q18 — personal dictionary CRUD + suggest integration
+    (SphinxSearch_PersonalDict.php:87-194, SphinxSearch_spell.php:51-99)."""
+
+    def test_crud(self, tmp_path):
+        from sphinxsearchengine_spark.query import personal_dict as pd_
+
+        d = str(tmp_path)
+        assert pd_.words(d, "u") == []
+        assert pd_.add_word(d, "u", "Frobnicate") is True
+        assert pd_.add_word(d, "u", "frobnicate") is False  # case-folded dup
+        assert pd_.add_word(d, "u", "zzyzx") is True
+        assert pd_.words(d, "u") == ["frobnicate", "zzyzx"]
+        assert pd_.remove_word(d, "u", "zzyzx") is True
+        assert pd_.remove_word(d, "u", "zzyzx") is False
+        assert pd_.words(d, "u") == ["frobnicate"]
+
+    def test_personal_word_not_flagged(self, spark, idx):
+        from sphinxsearchengine_spark.query import personal_dict as pd_
+
+        # 'qqfrobz' is unknown to the index: without a personal dict the
+        # suggester rewrites or leaves it; with it, the word is known
+        pd_.add_word(idx, "alice", "qqfrobz")
+        out = did_you_mean(spark, idx, "hotterm qqfrobz", user="alice")
+        assert out is None  # everything known → no suggestion offered
+
+    def test_personal_word_suggested_first(self, spark, idx):
+        from sphinxsearchengine_spark.query import personal_dict as pd_
+
+        pd_.add_word(idx, "bob", "hotterq")  # 1 edit from the typo below
+        out = did_you_mean(spark, idx, "hotterx", user="bob")
+        # both 'hotterm' (index, huge df) and 'hotterq' (personal) are
+        # distance 1; the personal word wins the tie-break
+        assert out == "hotterq"
+        assert did_you_mean(spark, idx, "hotterx") == "hotterm"
+
+
 class TestFacets:
     def test_category_facet(self, spark, idx):
         rows = category_facet(spark, idx, "hotterm", now_ts=PINNED_NOW).collect()
