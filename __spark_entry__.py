@@ -390,18 +390,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
-    def dedup_minhash_lsh(spark, sf):  # rows-only: blake2b/numpy minhash
-        # signatures have no DuckDB equivalent; exactness vs brute-force
-        # Jaccard is pytest-asserted (tests/test_ops.py)
+    def dedup_minhash_lsh(spark, sf):
+        # value-checked: the token hash is md5_number_lower (DuckDB
+        # parity), so the whole signature+banding pipeline has an exact
+        # SQL oracle; also exactness-vs-brute-force pytest (tests/test_ops.py)
         from sphinxsearchengine_spark.ops.dedup import minhash_lsh_pairs
 
         d = _t(spark, sf, "documents")
         return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5)
     q["dedup_minhash_lsh"] = dedup_minhash_lsh
 
-    def dedup_simhash(spark, sf):  # rows-only: 64-bit simhash signatures
-        # (token-hash bit voting) not expressible in ANSI SQL; hamming
-        # neighborhoods pytest-asserted (tests/test_ops.py)
+    def dedup_simhash(spark, sf):
+        # value-checked: md5-low64 token hash (DuckDB parity) + the
+        # pigeonhole banding is EXACT for hamming<=3, so the oracle is
+        # simply all pairs with bit_count(xor(sig)) <= 3
         from sphinxsearchengine_spark.ops.dedup import simhash_pairs
 
         d = _t(spark, sf, "documents")
@@ -905,6 +907,100 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
     """
+    # MinHash / SimHash oracles: the impl's token hash is the low 64
+    # bits of md5, little-endian == DuckDB md5_number_lower (see
+    # ops/dedup.py _token_hashes), so the full numpy signature pipeline
+    # is reproducible in SQL.  uint64 wrap-around arithmetic maps to
+    # UHUGEINT products taken mod 2^64.
+    from sphinxsearchengine_spark.ops.dedup import _MERSENNE, _MIX, _minhash_params
+
+    _a_p, _b_p = _minhash_params(64)
+    _mix = [int(x) for x in _MIX[:3]]
+    _P64 = 1 << 64
+    _perm_rows = ",\n            ".join(
+        f"({i}, {int(_a_p[i])}::UHUGEINT, {int(_b_p[i])}::UHUGEINT)"
+        for i in range(64)
+    )
+    sql["dedup_minhash_lsh"] = f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        th AS (
+          SELECT doc_id, [md5_number_lower(t) FOR t IN toks] AS hs,
+                 len(toks) AS ntok
+          FROM tok WHERE len(toks) >= 3
+        ),
+        sh AS (  -- rolling 3-gram shingle hash, uint64 wrap-around
+          SELECT doc_id, unnest([
+            CAST((( ({_mix[0]}::UHUGEINT * hs[i]::UHUGEINT) % {_P64}::UHUGEINT
+                  + ({_mix[1]}::UHUGEINT * hs[i+1]::UHUGEINT) % {_P64}::UHUGEINT
+                  + ({_mix[2]}::UHUGEINT * hs[i+2]::UHUGEINT) % {_P64}::UHUGEINT
+                  ) % {_P64}::UHUGEINT) AS UBIGINT)
+            FOR i IN generate_series(1, ntok - 2)]) AS sh
+          FROM th
+        ),
+        perms(p, a, b) AS (VALUES
+            {_perm_rows}),
+        sigv AS (
+          SELECT doc_id, p,
+                 min(CAST(((sh::UHUGEINT * a) % {_P64}::UHUGEINT + b)
+                          % {_P64}::UHUGEINT % {_MERSENNE}::UHUGEINT
+                          AS BIGINT)) AS v
+          FROM sh, perms GROUP BY doc_id, p
+        ),
+        sigs AS (SELECT doc_id, list(v ORDER BY p) AS sig
+                 FROM sigv GROUP BY doc_id),
+        bands AS (
+          SELECT doc_id, b, sig[b*4+1 : b*4+4] AS slice
+          FROM sigs, range(16) r(b)
+        ),
+        cand AS (
+          SELECT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bands x JOIN bands y
+            ON x.b = y.b AND x.slice = y.slice AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        ),
+        est AS (
+          SELECT id_a, id_b,
+                 list_sum(list_transform(list_zip(sa.sig, sb.sig),
+                   z -> CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END)) AS eq
+          FROM cand
+          JOIN sigs sa ON sa.doc_id = id_a
+          JOIN sigs sb ON sb.doc_id = id_b
+        )
+        SELECT id_a, id_b, round(eq / 64.0, 6) AS est_jaccard
+        FROM est WHERE eq >= 32
+    """
+
+    sql["dedup_simhash"] = """
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        th AS (
+          SELECT doc_id, [md5_number_lower(t) FOR t IN toks] AS hs FROM tok
+        ),
+        sigs AS (  -- bit b set iff strict majority of token hashes set it
+          SELECT doc_id, CAST(coalesce(list_sum([
+            CASE WHEN 2 * list_sum([CAST((h >> b) & 1 AS BIGINT) FOR h IN hs])
+                     > len(hs)
+                 THEN CASE WHEN b = 63 THEN -9223372036854775808
+                           ELSE (1::BIGINT << b) END
+                 ELSE 0 END
+            FOR b IN generate_series(0, 63)]), 0) AS BIGINT) AS simhash
+          FROM th
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
     sql["text_langid"] = """
         WITH base AS (
           SELECT doc_id AS id,

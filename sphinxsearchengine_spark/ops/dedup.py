@@ -206,8 +206,14 @@ def ngram_jaccard_pairs(
 
 # Worker-lifetime cache: token string -> content-derived 64-bit hash.
 # Signatures must be comparable ACROSS batches/executors, so hashes are
-# derived from token bytes (blake2b), never from batch-local ids; the
-# Python loop is bounded by unique tokens per worker.
+# derived from token bytes, never from batch-local ids; the Python loop
+# is bounded by unique tokens per worker.
+#
+# The hash is the low 64 bits of md5, little-endian — bit-identical to
+# DuckDB's md5_number_lower(token), so every signature derived from it
+# (minhash, simhash, shingle mixes) is reproducible in ANSI-ish SQL and
+# the driver's DuckDB oracle can value-check the dedup operators
+# end-to-end (was blake2b before round 3; same cost, same dispersion).
 _TOKEN_HASH_CACHE: dict[str, int] = {}
 _TOKEN_HASH_CAP = 1 << 20
 
@@ -223,9 +229,7 @@ def _token_hashes(all_tokens: list[str]):
     for i, t in enumerate(uniques):
         h = _TOKEN_HASH_CACHE.get(t)
         if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
-            )
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
             if len(_TOKEN_HASH_CACHE) < _TOKEN_HASH_CAP:
                 _TOKEN_HASH_CACHE[t] = h
         uh[i] = h
