@@ -376,7 +376,7 @@ class _split_hint:
 def block_shift_for(n_docs: int) -> int:
     """Docid-block width so one block holds ~POSTINGS_BLOCK docs.
 
-    Docids are xxhash64 values, uniform over the 64-bit space, so the
+    Docids are md5-derived hashes, uniform over the 64-bit space, so the
     top (64 - shift) bits partition docs evenly; the SAME shift is used
     by every segment of one index so blocks align across segments."""
     from sphinxsearchengine_spark.config import POSTINGS_BLOCK
