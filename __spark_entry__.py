@@ -468,10 +468,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         bucket_col="lsh_bucket")
     q["ann_lsh_topk"] = ann_lsh_topk
 
-    def engine_search(spark, sf):  # rows-only: LCS proximity + stemmed
-        # expansion + freshness ranking are not ANSI-SQL-expressible;
-        # rank identity is enforced against the pure-python oracle twin
-        # (tests/test_engine.py, tests/test_property_rank.py)
+    def engine_search(spark, sf):  # value-checked END-TO-END: md5-derived
+        # docids/dates + the plain gate corpus (stem-invariant keywords,
+        # no prefix siblings) make the FULL rank — LCS proximity + dual
+        # exact/stem BM25 + freshness, /maxScore — exact SQL; also rank
+        # identity vs the pure-python twin (tests/test_property_rank.py)
         from sphinxsearchengine_spark.corpus import PINNED_NOW
         from sphinxsearchengine_spark.query.executor import search
 
@@ -527,9 +528,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame(rows, "query string, suggestion string")
     q["engine_suggest"] = engine_suggest
 
-    def engine_category(spark, sf):  # rows-only: Q14 category-weighted
-        # SCORES (maxScore widening) need the full ranker — see
-        # engine_category_match for the value-checked match set
+    def engine_category(spark, sf):  # value-checked: Q14 category-weighted
+        # scores — the category group widens maxScore (+w_cat per
+        # category), adds its field-weight-2 LCS unit and a tf=1 dual
+        # BM25 row, all reproduced in the SQL oracle
         from sphinxsearchengine_spark.corpus import PINNED_NOW
         from sphinxsearchengine_spark.query.executor import search
 
@@ -605,10 +607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.select("path", "lang")
     q["engine_category_match"] = engine_category_match
 
-    def engine_order_by(spark, sf):  # rows-only: date_insert/date_modify
-        # are xxhash64-derived (corpus.py) and DuckDB has no xxhash64, so
-        # the attribute sort cannot be reproduced in SQL; covered by
-        # pytest (tests/test_searcher.py order-by cases)
+    def engine_order_by(spark, sf):  # value-checked: date_insert /
+        # date_modify are md5-derived (corpus.py) so the attribute sort
+        # is reproduced exactly in SQL (Q9 whitelist, both directions)
         from sphinxsearchengine_spark.corpus import PINNED_NOW
         from sphinxsearchengine_spark.query.executor import search
 
@@ -651,10 +652,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame(rows, "phase string, user string, word string")
     q["engine_personal_dict"] = engine_personal_dict
 
-    def engine_lifecycle(spark, sf):  # rows-only: S3/S4/S6 multi-phase
-        # index MUTATION (upsert/delete/compact visibility) has no
-        # single-query SQL equivalent; phase snapshots pytest-asserted
-        # (tests/test_lifecycle.py)
+    def engine_lifecycle(spark, sf):  # value-checked: S3/S4/S6 phase
+        # snapshots modeled in SQL — P2 df = segment-summed (base+delta),
+        # P3 keeps the stale dict df at N-1, P4 recomputes exact stats
+        # (the documented RT-segment idf staleness, lifecycle.py)
         from sphinxsearchengine_spark.config import EngineConfig
         from sphinxsearchengine_spark.corpus import PINNED_NOW, derive_documents
         from sphinxsearchengine_spark.index import lifecycle as lc
@@ -1146,6 +1147,258 @@ def oracle_sql() -> dict[str, str]:
         WHERE d.lang IN ('en', 'de')
     """
 
+    # ---- full-rank engine oracles ---------------------------------------
+    # docid and the date attributes are md5-derived (corpus.py
+    # derive_documents / __spark_entry__ _corpus_shape), so the oracle
+    # reconstructs them in SQL; the gate corpus is plain space-separated
+    # lowercase tokens whose two probe keywords are stem-invariant with
+    # no prefix siblings, so the FULL rank formula
+    # (SphinxSearchEngine_class.php:113) — LCS proximity + dual
+    # exact/stem BM25 + freshness, normalized by maxScore — reduces to
+    # exact SQL.  Engine semantics mirrored: each keyword scores TWICE
+    # (stem row + index_exact_words dual with identical df here), idf =
+    # ln((N-df+1)/df)/(2 ln(N+1))/n_keywords clamped at 0, content-field
+    # LCS = 2 iff 'spark' immediately precedes 'join', max_lcs =
+    # n_keywords*Σweights, maxScore = n_keywords*Σweights*1000+999.
+
+    # docid/date reconstruction CTEs over a corpus source (doc_id, text,
+    # source): key = source \x1f 'doc/'||doc_id \x1f substr(sha256,1,40);
+    # docid = signed low64(md5(key)), date seed = signed high64.
+    def _attrs3(src: str) -> str:
+        return f"""
+        attrs AS (
+          SELECT doc_id,
+            CAST(CASE WHEN lo_u >= 9223372036854775808
+                      THEN lo_u - 18446744073709551616 ELSE lo_u END AS BIGINT) AS docid,
+            CAST(CASE WHEN hi_u >= 9223372036854775808
+                      THEN hi_u - 18446744073709551616 ELSE hi_u END AS BIGINT) AS dateseed
+          FROM (SELECT doc_id,
+                  CAST(('0x'||substr(md5(k),17,16))::UBIGINT AS HUGEINT) AS lo_u,
+                  CAST(('0x'||substr(md5(k),1,16))::UBIGINT AS HUGEINT) AS hi_u
+                FROM (SELECT doc_id,
+                        source || chr(31) || 'doc/' || doc_id || chr(31)
+                          || substr(sha256(text), 1, 40) AS k
+                      FROM {src}))
+        ),
+        attrs3 AS (
+          SELECT doc_id, docid,
+            1600000000 + ((dateseed % 94608000) + 94608000) % 94608000 AS date_insert,
+            1600000000 + ((dateseed % 94608000) + 94608000) % 94608000
+              + ((docid % 31536000) + 31536000) % 31536000 AS date_modify
+          FROM attrs
+        )"""
+
+    _NOW = 1_726_144_000  # corpus.PINNED_NOW
+    _FRESH = ("1000 * pow(greatest(1.0 - ({now} - (a.date_insert + a.date_modify)"
+              " / 2.0) / 47304000.0, 0.0), 4)").format(now=_NOW)
+
+    def _idf(df_expr: str, n_expr: str, nk: int) -> str:
+        """Engine idf (ranker.py idf): clamped, /2ln(N+1), /n_keywords."""
+        return (f"(CASE WHEN ({n_expr} - {df_expr} + 1) / {df_expr} <= 1 THEN 0"
+                f" ELSE ln(({n_expr} - {df_expr} + 1) / {df_expr}) END)"
+                f" / (2 * ln({n_expr} + 1)) / {nk}")
+
+    _TOKPOS_CTE = """
+        rawtok AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term,
+                 generate_subscripts(string_split_regex(lower(text), '[^a-z0-9]+'), 1) AS pos
+          FROM documents
+        ),
+        tokpos AS (SELECT doc_id, term, pos FROM rawtok WHERE term <> ''),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM tokpos
+          WHERE term IN ('spark','join') GROUP BY doc_id, term
+        ),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        adj AS (
+          SELECT DISTINCT a.doc_id
+          FROM tokpos a JOIN tokpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          WHERE a.term = 'spark' AND b.term = 'join'
+        )"""
+
+    sql["engine_search"] = f"""
+        WITH {_attrs3('documents')},
+        {_TOKPOS_CTE},
+        bm AS (  -- stem row + exact dual row: identical df/tf, so 2x contrib
+          SELECT tf.doc_id,
+                 sum(2 * {_idf('dfreq.df', 'n.n', 2)}
+                     * tf.tf / (tf.tf + 1.2)) AS bm25_raw,
+                 count(DISTINCT tf.term) AS nt
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+          GROUP BY tf.doc_id
+        ),
+        scored AS (
+          SELECT a.docid, a.doc_id,
+            (CASE WHEN adj.doc_id IS NOT NULL THEN 2.0 ELSE 1.0 END) / 46.0 * 2000
+              + (bm.bm25_raw + 0.5) * 999
+              + {_FRESH} AS raw_w
+          FROM bm JOIN attrs3 a USING (doc_id)
+          LEFT JOIN adj ON adj.doc_id = bm.doc_id
+          WHERE bm.nt = 2
+        )
+        SELECT CAST(row_number() OVER (ORDER BY raw_w DESC, docid ASC) AS INT) AS rank,
+               docid, round(raw_w / 46999.0, 6) AS score,
+               'doc/' || doc_id AS path
+        FROM scored ORDER BY raw_w DESC, docid ASC LIMIT 20
+    """
+
+    # categories=['en','de'] append a 3rd AND group in the weight-2
+    # category_search field: every idf is /3, max_lcs widens to 69, the
+    # doc's own lang token adds a tf=1 dual BM25 row and one LCS unit of
+    # weight 2, maxScore = 46999 + 2*2 (ranker.py max_score).
+    sql["engine_category"] = f"""
+        WITH {_attrs3('documents')},
+        {_TOKPOS_CTE},
+        langdf AS (SELECT lang, count(*) AS df FROM documents
+                   WHERE lang IN ('en','de') GROUP BY lang),
+        bmkw AS (
+          SELECT tf.doc_id,
+                 sum(2 * {_idf('dfreq.df', 'n.n', 3)}
+                     * tf.tf / (tf.tf + 1.2)) AS bm_kw,
+                 count(DISTINCT tf.term) AS nt
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+          GROUP BY tf.doc_id
+        ),
+        scored AS (
+          SELECT a.docid, d.lang,
+            ((CASE WHEN adj.doc_id IS NOT NULL THEN 2.0 ELSE 1.0 END) + 2.0)
+               / 69.0 * 2000
+              + (bmkw.bm_kw
+                 + 2 * {_idf('langdf.df', 'n.n', 3)} * 1.0 / 2.2
+                 + 0.5) * 999
+              + {_FRESH} AS raw_w
+          FROM bmkw
+          JOIN attrs3 a USING (doc_id)
+          JOIN documents d USING (doc_id)
+          JOIN langdf ON langdf.lang = d.lang
+          CROSS JOIN n
+          LEFT JOIN adj ON adj.doc_id = bmkw.doc_id
+          WHERE bmkw.nt = 2
+        )
+        SELECT CAST(row_number() OVER (ORDER BY raw_w DESC, docid ASC) AS INT) AS rank,
+               docid, round(raw_w / 47003.0, 6) AS score, lang
+        FROM scored ORDER BY raw_w DESC, docid ASC LIMIT 10
+    """
+
+    sql["engine_order_by"] = f"""
+        WITH {_attrs3('documents')},
+        {_TOK_CTE},
+        m AS (
+          SELECT doc_id FROM tok WHERE term IN ('spark','join')
+          GROUP BY doc_id HAVING count(DISTINCT term) = 2
+        ),
+        md AS (SELECT a.docid, a.date_insert, a.date_modify
+               FROM attrs3 a JOIN m USING (doc_id))
+        SELECT 'date_insert_asc' AS ord,
+               CAST(row_number() OVER (ORDER BY date_insert ASC, docid ASC) AS INT) AS rank,
+               docid, date_insert, date_modify
+        FROM md QUALIFY rank <= 5
+        UNION ALL
+        SELECT 'date_modify_desc' AS ord,
+               CAST(row_number() OVER (ORDER BY date_modify DESC, docid ASC) AS INT) AS rank,
+               docid, date_insert, date_modify
+        FROM md QUALIFY rank <= 5
+    """
+
+    # Four phase snapshots over the 250-doc sub-corpus.  Upserted doc
+    # (min docid): +3 content + 1 title occurrences per keyword, title
+    # LCS 2 at weight 20 -> wsum 42.  df per phase: P1 exact; P2/P3 =
+    # base-segment df + 1 (segment-summed, dict not rewritten); P4
+    # recomputed over the live set.  N: 250, 250, 249, 249.
+    def _lc_scored(tfs, tfj, wsum, dfs, dfj, nn, extra=""):
+        return f"""
+          SELECT f.docid,
+            {wsum} / 46.0 * 2000
+             + (2 * {_idf(dfs, nn, 2)} * {tfs} / ({tfs} + 1.2)
+              + 2 * {_idf(dfj, nn, 2)} * {tfj} / ({tfj} + 1.2)
+              + 0.5) * 999
+             + 1000 * pow(greatest(1.0 - ({_NOW} - (f.date_insert + f.date_modify) / 2.0) / 47304000.0, 0.0), 4) AS raw_w
+          FROM facts2 f CROSS JOIN df1 d {extra}
+          WHERE {tfs} > 0 AND {tfj} > 0"""
+
+    _lc_rank = ("CAST(row_number() OVER (ORDER BY raw_w DESC, docid ASC) AS INT)")
+    sql["engine_lifecycle"] = f"""
+        WITH base AS (SELECT doc_id, text, source, lang FROM documents
+                      WHERE doc_id < 250),
+        {_attrs3('base')},
+        rawtok AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term,
+                 generate_subscripts(string_split_regex(lower(text), '[^a-z0-9]+'), 1) AS pos
+          FROM base
+        ),
+        tokpos AS (SELECT doc_id, term, pos FROM rawtok WHERE term <> ''),
+        tf1 AS (
+          SELECT doc_id,
+                 count(*) FILTER (term = 'spark') AS tfs,
+                 count(*) FILTER (term = 'join')  AS tfj
+          FROM tokpos WHERE term IN ('spark','join') GROUP BY doc_id
+        ),
+        adj1 AS (
+          SELECT DISTINCT a.doc_id FROM tokpos a JOIN tokpos b
+            ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          WHERE a.term = 'spark' AND b.term = 'join'
+        ),
+        up AS (SELECT min(docid) AS updocid FROM attrs3),
+        facts AS (
+          SELECT a.doc_id, a.docid, a.date_insert, a.date_modify,
+                 coalesce(tf1.tfs, 0) AS tfs1, coalesce(tf1.tfj, 0) AS tfj1,
+                 (adj1.doc_id IS NOT NULL) AS adj1,
+                 (a.docid = up.updocid) AS is_up
+          FROM attrs3 a
+          LEFT JOIN tf1 USING (doc_id)
+          LEFT JOIN adj1 ON adj1.doc_id = a.doc_id
+          CROSS JOIN up
+        ),
+        facts2 AS (
+          SELECT *,
+            CASE WHEN is_up THEN tfs1 + 4 ELSE tfs1 END AS tfs2,
+            CASE WHEN is_up THEN tfj1 + 4 ELSE tfj1 END AS tfj2,
+            CASE WHEN is_up THEN 42.0
+                 ELSE CASE WHEN adj1 THEN 2.0 ELSE 1.0 END END AS wsum2
+          FROM facts
+        ),
+        df1 AS (SELECT count(*) FILTER (tfs1 > 0) AS dfs,
+                       count(*) FILTER (tfj1 > 0) AS dfj FROM facts),
+        s1 AS ({_lc_scored('f.tfs1', 'f.tfj1',
+                           "(CASE WHEN f.adj1 THEN 2.0 ELSE 1.0 END)",
+                           'd.dfs', 'd.dfj', '250.0')}),
+        top1 AS (SELECT docid AS topdocid FROM s1
+                 ORDER BY raw_w DESC, docid ASC LIMIT 1),
+        s2 AS ({_lc_scored('f.tfs2', 'f.tfj2', 'f.wsum2',
+                           '(d.dfs+1)', '(d.dfj+1)', '250.0')}),
+        s3 AS ({_lc_scored('f.tfs2', 'f.tfj2', 'f.wsum2',
+                           '(d.dfs+1)', '(d.dfj+1)', '249.0',
+                           'CROSS JOIN top1 t')}
+               AND f.docid <> t.topdocid),
+        df4 AS (SELECT count(*) FILTER (f.tfs2 > 0) AS dfs,
+                       count(*) FILTER (f.tfj2 > 0) AS dfj
+                FROM facts2 f CROSS JOIN top1 t WHERE f.docid <> t.topdocid),
+        s4 AS (
+          SELECT f.docid,
+            f.wsum2 / 46.0 * 2000
+             + (2 * {_idf('d4.dfs', '249.0', 2)} * f.tfs2 / (f.tfs2 + 1.2)
+              + 2 * {_idf('d4.dfj', '249.0', 2)} * f.tfj2 / (f.tfj2 + 1.2)
+              + 0.5) * 999
+             + 1000 * pow(greatest(1.0 - ({_NOW} - (f.date_insert + f.date_modify) / 2.0) / 47304000.0, 0.0), 4) AS raw_w
+          FROM facts2 f CROSS JOIN df4 d4 CROSS JOIN top1 t
+          WHERE f.tfs2 > 0 AND f.tfj2 > 0 AND f.docid <> t.topdocid
+        )
+        SELECT '1_built' AS phase, {_lc_rank} AS rank, docid,
+               round(raw_w / 46999.0, 6) AS score FROM s1 QUALIFY rank <= 10
+        UNION ALL
+        SELECT '2_upserted', {_lc_rank}, docid, round(raw_w / 46999.0, 6)
+        FROM s2 QUALIFY {_lc_rank} <= 10
+        UNION ALL
+        SELECT '3_deleted', {_lc_rank}, docid, round(raw_w / 46999.0, 6)
+        FROM s3 QUALIFY {_lc_rank} <= 10
+        UNION ALL
+        SELECT '4_compacted', {_lc_rank}, docid, round(raw_w / 46999.0, 6)
+        FROM s4 QUALIFY {_lc_rank} <= 10
+    """
+
     # T1-T6 golden: pure function of literal fixtures (sf-independent);
     # reference contract sphinx.conf:15-20, SphinxSearchEngine_class.php:333-359
     sql["engine_tokenizer"] = """
@@ -1206,11 +1459,11 @@ def oracle_sql() -> dict[str, str]:
     # procedural; values pinned from the deterministic ranked result)
     sql["engine_snippets"] = """
         SELECT * FROM (VALUES
-          (1, CAST(7329514026167116365 AS BIGINT), 'query filter vector <b>spark</b> scan part <b>join</b> group batch fast order value slow window order filter row key part group a batch'),
-          (2, CAST(6152720890978710312 AS BIGINT), 'batch vector row stream key big row a vector slow <b>join</b> value row small hash table group filter data part fast table batch table big order scan <b>join</b> filter <b>join</b> group hash value ro'),
-          (3, CAST(-4731649005215886489 AS BIGINT), 'filter customer small line customer table query batch order part big hash query customer customer <b>join</b> order merge agg line sort slow data row big column big <b>spark</b> agg table sort slow ba'),
-          (4, CAST(3670410356852982612 AS BIGINT), 'key filter vector <b>join</b> order batch key value merge column slow the row order small group data the <b>join</b> value stream slow customer window column vector window the data scan fast agg line '),
-          (5, CAST(-4105152916397638867 AS BIGINT), '<b>join</b> table slow <b>join</b> customer a <b>spark</b> agg agg query key data line <b>join</b> <b>spark</b> window order <b>join</b> slow line a line value sort window a query line hash agg line g')
+          (1, CAST(-8562288102584580517 AS BIGINT), 'filter query agg query fast <b>spark</b> big the vector slow line agg stream part query scan column slow slow scan <b>spark</b> value query hash value table hash sort order table row window value quer'),
+          (2, CAST(5356798254298344125 AS BIGINT), 'data line table small value stream stream part agg filter a <b>join</b> line line group window key a value scan <b>spark</b> merge group customer customer <b>spark</b> query agg column query <b>join</'),
+          (3, CAST(-6091636143873403967 AS BIGINT), 'small sort hash stream batch big big group order column part table stream group table <b>join</b> batch <b>join</b> window window fast agg line order group <b>spark</b> window part agg the column line'),
+          (4, CAST(-1280077307642925607 AS BIGINT), '<b>spark</b> big batch column order value query data value vector fast order key small <b>spark</b> <b>join</b> slow small slow scan query filter the hash window merge customer row agg slow'),
+          (5, CAST(7107480960461481746 AS BIGINT), 'stream query order value part query <b>spark</b> batch query the table batch agg window line key big query a window sort vector scan data sort <b>join</b> table column batch agg slow order key <b>spar')
         ) AS t(rank, docid, snippet)
     """
 

@@ -5,8 +5,9 @@ Generates the input table of exactly the shape mandated by
 derives the engine's document columns (SURVEY.md §1.1 mapping of the
 reference schema at sphinx.conf:4-21):
 
-- ``docid = xxhash64(repo, path, commit)``  (analog of RT BIGINT id,
-  SphinxSearchEngine_class.php:377,524)
+- ``docid = md5_low64(repo, path, commit)``  (analog of RT BIGINT id,
+  SphinxSearchEngine_class.php:377,524; md5 so the DuckDB oracle can
+  recompute it in SQL)
 - ``content_sha = sha256(content)``          (per-row invariant)
 - ``category = [repo, lang]``                (ArrayType, replaces the
   '|'-joined string of SphinxSearchEngine_class.php:371-372)
@@ -121,11 +122,35 @@ _TS_MOD_SPAN = 31_536_000  # 1 year
 PINNED_NOW = _TS_BASE + _TS_SPAN + _TS_MOD_SPAN
 
 
-def derive_documents(corpus: DataFrame) -> DataFrame:
-    """Corpus table -> engine document table (all native column fns)."""
-    mangle = F.udf(mangle_category)  # tiny cols only (repo/lang), not hot path
+def _md5_i64(col, lo: bool = True):
+    """Signed-int64 view of the low (or high) 64 bits of md5(col).
+
+    Chosen over xxhash64 so the driver's DuckDB oracle can recompute
+    docids and date attributes in SQL — ('0x' || substr(md5(k), 17, 16))
+    ::UBIGINT gives the identical unsigned value; dispersion is
+    equivalent (uniform over the 64-bit space)."""
+    h = F.md5(col)
+    part = F.substring(h, 17, 16) if lo else F.substring(h, 1, 16)
+    d = F.conv(part, 16, 10).cast("decimal(20,0)")
+    wrap = F.lit("18446744073709551616").cast("decimal(38,0)")
+    half = F.lit("9223372036854775808").cast("decimal(38,0)")
     return (
-        corpus.withColumn("docid", F.xxhash64("repo", "path", "commit"))
+        F.when(d >= half, (d.cast("decimal(38,0)") - wrap)).otherwise(d)
+    ).cast("long")
+
+
+def derive_documents(corpus: DataFrame) -> DataFrame:
+    """Corpus table -> engine document table (all native column fns).
+
+    docid and the date attributes are md5-derived (one digest: docid =
+    low 64 bits, date entropy = high 64 bits) so the DuckDB correctness
+    oracle can reproduce attribute-dependent outputs (ordering,
+    freshness-ranked scores) value-for-value in SQL."""
+    mangle = F.udf(mangle_category)  # tiny cols only (repo/lang), not hot path
+    key = F.concat_ws("\x1f", "repo", "path", "commit")
+    return (
+        corpus.withColumn("docid", _md5_i64(key, lo=True))
+        .withColumn("_dateseed", _md5_i64(key, lo=False))
         .withColumn("content", F.substring("content", 1, FIELD_SIZE_CAP))
         .withColumn("content_sha", F.sha2(F.col("content"), 256))
         .withColumn("category", F.array("repo", "lang"))
@@ -135,11 +160,11 @@ def derive_documents(corpus: DataFrame) -> DataFrame:
         )
         .withColumn(
             "date_insert",
-            F.lit(_TS_BASE) + F.pmod(F.xxhash64("docid"), F.lit(_TS_SPAN)),
+            F.lit(_TS_BASE) + F.pmod("_dateseed", F.lit(_TS_SPAN)),
         )
         .withColumn(
             "date_modify",
-            F.col("date_insert")
-            + F.pmod(F.xxhash64("docid", F.lit(1)), F.lit(_TS_MOD_SPAN)),
+            F.col("date_insert") + F.pmod("docid", F.lit(_TS_MOD_SPAN)),
         )
+        .drop("_dateseed")
     )

@@ -541,43 +541,89 @@ def _task_write_parquet(base: str, bucket: int, pid: int, table) -> None:
         pq.write_table(table, rel, filesystem=fsys, compression="snappy")
 
 
-def _postings_writer_and_rollup(postings_path: str, block_shift: int):
-    """Fused postings-write + blockmax-rollup task (ONE pass).
+def _rollup_arrow(table, block_shift: int):
+    """Doc-level rollup of one task's (JVM-pre-sorted) postings Arrow
+    table — the zero-pandas twin of _rollup_pdf.  All columns come out
+    of Arrow as numpy views (fixed-width) or a C++ dictionary encode
+    (term), so the only Python-loop-free cost is a couple of segmented
+    numpy reductions."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    Each task of the (bucket, docid-salt)-partitioned shuffle sorts its
-    rows by (bucket, term, field, docid), writes one sorted parquet file
-    per bucket it holds as a SIDE OUTPUT (same layout the dynamic
-    partitionBy writer produced), and *returns* the per-(term, docid)
-    rollup rows that feed the blockmax aggregation — so blockmax no
-    longer costs a second full read of the postings (the round-2 17%
-    build regression, VERDICT r2 #3)."""
+    enc = pc.dictionary_encode(table.column("term")).combine_chunks()
+    tcode = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    tuniq = enc.dictionary.to_pylist()
+    docid = table.column("docid").to_numpy(zero_copy_only=False)
+    pairs = np.stack([tcode, docid], axis=1)
+    uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+    n = len(uniq)
+    tf = table.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+    etf = table.column("exact_tf").to_numpy(zero_copy_only=False).astype(np.int64)
+    fld = table.column("field").to_numpy(zero_copy_only=False).astype(np.int64)
+    di = table.column("date_insert").to_numpy(zero_copy_only=False)
+    dm = table.column("date_modify").to_numpy(zero_copy_only=False)
+    bkt = table.column("bucket").to_numpy(zero_copy_only=False).astype(np.int32)
+    tfd = np.zeros(n, np.int64)
+    etfd = np.zeros(n, np.int64)
+    fmask = np.zeros(n, np.int64)
+    dsum = np.zeros(n, np.int64)
+    bucket = np.zeros(n, np.int32)
+    np.add.at(tfd, inv, tf)
+    np.add.at(etfd, inv, etf)
+    np.bitwise_or.at(fmask, inv, np.int64(1) << fld)
+    np.maximum.at(dsum, inv, di + dm)
+    bucket[inv] = bkt
+    blk = (uniq[:, 1].astype(np.uint64) >> np.uint64(block_shift)).astype(
+        np.int64
+    )
+    terms = np.asarray(tuniq, dtype=object)[uniq[:, 0]]
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(bucket, pa.int32()),
+            pa.array(terms, pa.string()),
+            pa.array(blk, pa.int64()),
+            pa.array(tfd, pa.int64()),
+            pa.array(etfd, pa.int64()),
+            pa.array(fmask, pa.int64()),
+            pa.array(dsum, pa.int64()),
+        ],
+        names=["bucket", "term", "blk", "tfd", "etfd", "fmask", "dsum"],
+    )
+
+
+def _postings_writer_and_rollup_arrow(postings_path: str, block_shift: int):
+    """mapInArrow twin of the fused writer: Arrow batches in, per-bucket
+    parquet side-output, rollup RecordBatch out.  No pandas anywhere —
+    the postings (pos_vb bytes included) never convert to Python
+    objects; the input arrives JVM-sorted by (bucket, term, field,
+    docid), so bucket boundaries are a searchsorted, and each bucket's
+    slice writes zero-copy."""
+    import numpy as np
     import pyarrow as pa
     from pyspark import TaskContext
 
-    cols = [
-        "term", "field", "docid", "tf", "exact_tf", "pos_vb", "lang",
-        "date_insert", "date_modify",
-    ]
-
-    def gen(pdf_iter):
-        chunks = list(pdf_iter)
-        if not chunks:
+    def gen(batch_iter):
+        batches = list(batch_iter)
+        if not batches:
             return
-        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        if not len(pdf):
+        table = pa.Table.from_batches(batches).combine_chunks()
+        if table.num_rows == 0:
             return
         pid = TaskContext.get().partitionId()
-        pdf = pdf.sort_values(
-            ["bucket", "term", "field", "docid"], kind="mergesort",
-            ignore_index=True,
+        bkt = table.column("bucket").to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.diff(bkt)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(bkt)]))
+        out_cols = table.select(
+            ["term", "field", "docid", "tf", "exact_tf", "pos_vb", "lang",
+             "date_insert", "date_modify"]
         )
-        schema = _postings_arrow_schema()
-        for b, grp in pdf.groupby("bucket", sort=True):
-            table = pa.Table.from_pandas(
-                grp[cols], schema=schema, preserve_index=False
+        for s, e in zip(starts, ends):
+            _task_write_parquet(
+                postings_path, int(bkt[s]), pid, out_cols.slice(s, e - s)
             )
-            _task_write_parquet(postings_path, int(b), pid, table)
-        yield _rollup_pdf(pdf, block_shift)
+        yield _rollup_arrow(table, block_shift)
 
     return gen
 
@@ -710,11 +756,17 @@ def build_segment(
             ).withColumn(
                 "salt", F.pmod(F.xxhash64("docid"), F.lit(salt_factor)).cast("int")
             )
+            # sort JVM-side (Tungsten radix/UTF8 sort, spillable), then
+            # a zero-pandas Arrow task writes each bucket's slice and
+            # emits the rollup — measured at local[8]/200k docs the
+            # pandas writer's object-string mergesort + to/from-pandas
+            # conversions cost ~35% of the whole postings stage
             per_doc = (
                 tok.repartition(nb * salt_factor, "bucket", "salt")
                 .drop("salt")
-                .mapInPandas(
-                    _postings_writer_and_rollup(
+                .sortWithinPartitions("bucket", "term", "field", "docid")
+                .mapInArrow(
+                    _postings_writer_and_rollup_arrow(
                         layout.postings(seg), block_shift
                     ),
                     schema=ROLLUP_SCHEMA,

@@ -259,3 +259,49 @@ class TestMultimodal:
         media = synth_media(spark, 5)
         with pytest.raises(NotImplementedError):
             extract_features(media, decode_stub=False)
+
+
+class TestDuckDBHashParity:
+    """Tripwires for the SQL-oracle contract: the dedup token hash and
+    the corpus docid/date derivation must stay bit-identical to what
+    DuckDB can recompute (md5_number_lower / hex-substr parsing), or the
+    driver's value-checked gate entries silently rot."""
+
+    def test_token_hash_is_md5_number_lower(self):
+        import duckdb
+
+        from sphinxsearchengine_spark.ops.dedup import _token_hashes
+
+        toks = ["spark", "join", "0", "ünïcode", "x" * 100]
+        got = _token_hashes(toks)
+        con = duckdb.connect()
+        for t, h in zip(toks, got):
+            (want,) = con.execute("select md5_number_lower(?)", [t]).fetchone()
+            assert int(h) == int(want), t
+
+    def test_md5_i64_matches_duckdb_hex_parse(self, spark):
+        import duckdb
+
+        from pyspark.sql import functions as F
+
+        from sphinxsearchengine_spark.corpus import _md5_i64
+
+        keys = ["a\x1fb\x1fc", "doc/0", ""]
+        df = spark.createDataFrame([(k,) for k in keys], "k string")
+        rows = df.select(
+            "k",
+            _md5_i64(F.col("k"), lo=True).alias("lo"),
+            _md5_i64(F.col("k"), lo=False).alias("hi"),
+        ).collect()
+        con = duckdb.connect()
+
+        def s64(u):
+            return u - (1 << 64) if u >= (1 << 63) else u
+
+        for r in rows:
+            lo, hi = con.execute(
+                "select CAST(('0x'||substr(md5(?),17,16))::UBIGINT AS HUGEINT),"
+                "       CAST(('0x'||substr(md5(?),1,16))::UBIGINT AS HUGEINT)",
+                [r.k, r.k],
+            ).fetchone()
+            assert r.lo == s64(int(lo)) and r.hi == s64(int(hi)), r.k
