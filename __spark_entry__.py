@@ -68,8 +68,9 @@ def _docs_as_corpus(spark, sf_dir):
 # One shared engine index per sf_dir: the engine_* gate entries are all
 # read-only over it, so the (expensive) build runs once per gate pass.
 _GATE_IDX: dict[str, str] = {}
-# Persisted LSH-bucketed embeddings per sf_dir (the ANN index build).
+# Persisted LSH-bucketed / IVF-celled embeddings per sf_dir (ANN builds).
 _ANN_IDX: dict[str, str] = {}
+_IVF_IDX: dict[str, str] = {}
 
 
 def _gate_index(spark, sf) -> str:
@@ -467,6 +468,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         n_planes=8, probe_hamming=2, exclude_id=0,
                         bucket_col="lsh_bucket")
     q["ann_lsh_topk"] = ann_lsh_topk
+
+    def ann_ivf_topk(spark, sf):  # IVF-flat scale path — value-checked:
+        # deterministic sampled centroids (k smallest ids, L2-normalized)
+        # make cell assignment + probe ranking exact SQL; rerank reuses
+        # the proven cosine_topk formula.  Persisted-cell serving path:
+        # the cell column is materialized once per sf, every query
+        # prunes with a pushed cell IN (probes) filter.
+        from sphinxsearchengine_spark.ops.similarity import (
+            ivf_centroids, ivf_topk, with_ivf_cells,
+        )
+
+        emb = _t(spark, sf, "embeddings")
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+        cents = ivf_centroids(emb, "vec_id", "embedding", k=8)
+        if sf not in _IVF_IDX:
+            path = os.path.join(tempfile.mkdtemp(prefix="sse_ivf_"), "emb_ivf")
+            with_ivf_cells(emb, "embedding", cents).write.parquet(path)
+            _IVF_IDX[sf] = path
+        bucketed = spark.read.parquet(_IVF_IDX[sf])
+        return ivf_topk(bucketed, "vec_id", "embedding", qvec, cents,
+                        k=10, nprobe=3, exclude_id=0)
+    q["ann_ivf_topk"] = ann_ivf_topk
 
     def engine_search(spark, sf):  # value-checked END-TO-END: md5-derived
         # docids/dates + the plain gate corpus (stem-invariant keywords,
@@ -1072,6 +1095,42 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY list_dot_product(embedding::DOUBLE[], q.qv)
                  / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
                     * sqrt(list_dot_product(q.qv, q.qv))) DESC, vec_id ASC
+        LIMIT 10
+    """
+
+    # IVF-flat: centroids = the 8 smallest-id vectors L2-normalized;
+    # cell = argmax centroid cosine (ties -> lowest cell); probes = top-3
+    # cells by query cosine; exact rerank inside probed cells.
+    sql["ann_ivf_topk"] = """
+        WITH cent AS (
+          SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS j,
+                 embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM embeddings ORDER BY vec_id ASC LIMIT 8
+        ),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        probes AS (
+          SELECT j FROM cent, q
+          ORDER BY list_dot_product(cent.v, q.qv) / cent.nrm DESC, j ASC
+          LIMIT 3
+        ),
+        cells AS (
+          SELECT e.vec_id,
+                 (SELECT c.j FROM cent c
+                  ORDER BY list_dot_product(e.embedding::DOUBLE[], c.v) / c.nrm DESC,
+                           c.j ASC
+                  LIMIT 1) AS cell
+          FROM embeddings e
+        )
+        SELECT e.vec_id AS id,
+               round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+        FROM embeddings e JOIN cells USING (vec_id), q
+        WHERE cells.cell IN (SELECT j FROM probes) AND e.vec_id <> 0
+        ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id ASC
         LIMIT 10
     """
 

@@ -126,6 +126,7 @@ def _median_cell(results: list[dict], cores: int, n_docs: int) -> dict:
     best["build_s"] = med
     best["docs_per_sec"] = n_docs / med
     best["all_build_s"] = sorted(round(r["build_s"], 1) for r in results)
+    best["min_build_s"] = min(r["build_s"] for r in results)
     best["query_s"] = statistics.median(r["query_s"] for r in results)
     return best
 
@@ -157,9 +158,14 @@ def report_from_log(sizes: list[int]) -> list[dict]:
         for a, b in N4N_PAIRS:
             if a in by_core and b in by_core:
                 sp = by_core[a]["build_s"] / by_core[b]["build_s"]
+                spm = by_core[a]["min_build_s"] / by_core[b]["min_build_s"]
                 rep["pairs"][f"{a}_to_{b}"] = {
                     "speedup": round(sp, 3),
                     "efficiency": round(sp / 4.0, 3),
+                    # min-of-runs estimator: on a shared host external
+                    # load only ADDS time, so per-level minima are the
+                    # least-contaminated estimates of the job's own cost
+                    "efficiency_min": round(spm / 4.0, 3),
                 }
         reports.append(rep)
     return reports
@@ -176,6 +182,8 @@ def _size_md(rep: dict) -> str:
         + " | ".join(f"{r['build_s']:.1f}" for r in cells) + " |\n",
         "| all runs (s) | "
         + " | ".join(str(r["all_build_s"]) for r in cells) + " |\n",
+        "| best run (s) | "
+        + " | ".join(f"{r['min_build_s']:.1f}" for r in cells) + " |\n",
         "| docs indexed/sec | "
         + " | ".join(f"{r['docs_per_sec']:.0f}" for r in cells) + " |\n",
         "| 3-query latency total (s, median) | "
@@ -187,7 +195,8 @@ def _size_md(rep: dict) -> str:
         a, b = pair.split("_to_")
         line = (
             f"**N → 4N (local[{a}] → local[{b}]): {v['speedup']}× speedup, "
-            f"scaling efficiency {v['efficiency']}"
+            f"scaling efficiency {v['efficiency']} (median-based; "
+            f"best-run-based {v.get('efficiency_min', v['efficiency'])})"
         )
         if a in ceil and b in ceil:
             mc = ceil[b] / ceil[a]

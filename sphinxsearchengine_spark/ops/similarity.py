@@ -115,6 +115,58 @@ def _probe_buckets(query_vec, planes, probe_hamming: int) -> list[int]:
     return sorted(probes)
 
 
+def ivf_centroids(df: DataFrame, id_col: str, vec_col: str, k: int = 8) -> np.ndarray:
+    """Deterministic IVF training: the k smallest-id vectors, L2
+    normalized — the sampled-seed variant of IVF-flat (at scale swap in
+    a KMeans fit; the serving path below is unchanged).  Determinism
+    keeps the cell assignment reproducible by the SQL oracle."""
+    rows = df.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
+    c = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_cell_col(vec_col, centroids: np.ndarray):
+    """argmax_j dot(vec, centroid_j) as a native column expression
+    (centroids pre-normalized, so this ranks by cosine); ties take the
+    lowest cell id."""
+    cands = []
+    for j, c in enumerate(centroids):
+        plane = F.array(*[F.lit(float(x)) for x in c])
+        cands.append(
+            F.struct(_dot(vec_col, plane).alias("c"), F.lit(-j).alias("nj"))
+        )
+    return (-F.array_max(F.array(*cands))["nj"]).cast("int")
+
+
+def with_ivf_cells(
+    df: DataFrame, vec_col: str, centroids: np.ndarray,
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Attach the persistent IVF cell column — the ANN index build step
+    (write once; queries prune their scan with a pushed cell IN (probes)
+    filter, reading ~nprobe/k of the table)."""
+    return df.withColumn(cell_col, ivf_cell_col(F.col(vec_col), centroids))
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+    exclude_id: int | None = None,
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """IVF-flat approximate top-k: rank cells by centroid cosine against
+    the query, scan the nprobe best cells only, rerank exactly."""
+    sims = centroids @ np.asarray(query_vec, dtype=np.float64)
+    probes = [int(j) for j in np.argsort(-sims, kind="stable")[:nprobe]]
+    cand = df.filter(F.col(cell_col).isin(probes))
+    return cosine_topk(cand, id_col, vec_col, query_vec, k, exclude_id)
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str,

@@ -305,3 +305,51 @@ class TestDuckDBHashParity:
                 [r.k, r.k],
             ).fetchone()
             assert r.lo == s64(int(lo)) and r.hi == s64(int(hi)), r.k
+
+
+class TestIVF:
+    def test_ivf_matches_bruteforce_within_probed_cells(self, spark):
+        from sphinxsearchengine_spark.ops.similarity import (
+            cosine_topk, ivf_centroids, ivf_topk, with_ivf_cells,
+        )
+
+        rng = np.random.RandomState(5)
+        vecs = rng.randn(120, 12).astype("float32")
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "id long, vec array<float>",
+        )
+        cents = ivf_centroids(df, "id", "vec", k=6)
+        celled = with_ivf_cells(df, "vec", cents)
+        qv = vecs[3].tolist()
+        got = ivf_topk(celled, "id", "vec", qv, cents, k=5, nprobe=2,
+                       exclude_id=3).collect()
+        # oracle: recompute cells + probes in numpy, brute-force inside
+        vnorm = vecs.astype(np.float64)
+        cell = np.argmax(vnorm @ cents.T, axis=1)
+        probes = set(np.argsort(-(cents @ np.asarray(qv)))[:2])
+        keep = [i for i in range(120) if cell[i] in probes and i != 3]
+        sims = {i: float(vnorm[i] @ np.asarray(qv)
+                         / (np.linalg.norm(vnorm[i]) * np.linalg.norm(qv)))
+                for i in keep}
+        order = sorted(keep, key=lambda i: (-sims[i], i))[:5]
+        assert [r.id for r in got] == order
+
+    def test_ivf_nprobe_all_equals_exact(self, spark):
+        from sphinxsearchengine_spark.ops.similarity import (
+            cosine_topk, ivf_centroids, ivf_topk, with_ivf_cells,
+        )
+
+        rng = np.random.RandomState(9)
+        vecs = rng.randn(60, 8).astype("float32")
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "id long, vec array<float>",
+        )
+        cents = ivf_centroids(df, "id", "vec", k=4)
+        celled = with_ivf_cells(df, "vec", cents)
+        qv = vecs[0].tolist()
+        approx = ivf_topk(celled, "id", "vec", qv, cents, k=5, nprobe=4,
+                          exclude_id=0).collect()
+        exact = cosine_topk(df, "id", "vec", qv, k=5, exclude_id=0).collect()
+        assert [r.id for r in approx] == [r.id for r in exact]
