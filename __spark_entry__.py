@@ -322,6 +322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_phrase"] = ft_phrase
 
     def ft_bm25_topk(spark, sf):  # Q7's BM25 factor, SQL-checkable profile
+        from pyspark.sql import Window
+
         tok = _tokens_df(spark, sf)
         n_docs = _t(spark, sf, "documents").count()
         terms = ["spark", "join"]
@@ -330,10 +332,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("doc_id", "term")
             .agg(F.count(F.lit(1)).alias("tf"))
         )
-        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        # df via a window over the (tiny) tf set: the dfreq-join variant
+        # recomputed the scan+explode a second time for the join's build
+        # side — at 100 TB that is a second full pass over the corpus
         nk = len(terms)
         scored = (
-            tf.join(F.broadcast(dfreq), "term")
+            tf.withColumn(
+                "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+            )
             .withColumn(
                 "idf",
                 F.log((F.lit(float(n_docs)) - F.col("df") + 1) / F.col("df"))
@@ -1247,9 +1253,26 @@ def oracle_sql() -> dict[str, str]:
           FROM attrs
         )"""
 
-    _NOW = 1_726_144_000  # corpus.PINNED_NOW
-    _FRESH = ("1000 * pow(greatest(1.0 - ({now} - (a.date_insert + a.date_modify)"
-              " / 2.0) / 47304000.0, 0.0), 4)").format(now=_NOW)
+    # Oracle constants IMPORTED from the engine config (ADVICE r3: the
+    # literals drifted risk — a ranker/config change must break the gate
+    # loudly, not silently diverge).  Σweights = 23 (text 1 + title 20 +
+    # category 2); max_lcs = nk·Σw; maxScore = nk·Σw·1000 + 999.
+    from sphinxsearchengine_spark.config import (
+        FIELD_WEIGHTS as _FW,
+        FRESHNESS_HORIZON_S as _HORIZON,
+        PROXIMITY_SCALE as _PROX,
+    )
+    from sphinxsearchengine_spark.corpus import PINNED_NOW as _NOW
+
+    _SUMW = sum(_FW.values())                      # 23
+    _MAXLCS2 = 2 * _SUMW                           # 46  (nk=2)
+    _MAXSC2 = 2 * _SUMW * 1000 + 999               # 46999
+    _MAXLCS3 = 3 * _SUMW                           # 69  (nk=3: +category group)
+    _MAXSC3 = _MAXSC2 + 2 * _FW["category_search"]  # 47003
+    _FRESH = (
+        "1000 * pow(greatest(1.0 - ({now} - (a.date_insert + a.date_modify)"
+        " / 2.0) / {hor}.0, 0.0), 4)"
+    ).format(now=_NOW, hor=_HORIZON)
 
     def _idf(df_expr: str, n_expr: str, nk: int) -> str:
         """Engine idf (ranker.py idf): clamped, /2ln(N+1), /n_keywords."""
@@ -1290,7 +1313,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         scored AS (
           SELECT a.docid, a.doc_id,
-            (CASE WHEN adj.doc_id IS NOT NULL THEN 2.0 ELSE 1.0 END) / 46.0 * 2000
+            (CASE WHEN adj.doc_id IS NOT NULL THEN 2.0 ELSE 1.0 END)
+                / {_MAXLCS2}.0 * {_PROX}
               + (bm.bm25_raw + 0.5) * 999
               + {_FRESH} AS raw_w
           FROM bm JOIN attrs3 a USING (doc_id)
@@ -1298,7 +1322,7 @@ def oracle_sql() -> dict[str, str]:
           WHERE bm.nt = 2
         )
         SELECT CAST(row_number() OVER (ORDER BY raw_w DESC, docid ASC) AS INT) AS rank,
-               docid, round(raw_w / 46999.0, 6) AS score,
+               docid, round(raw_w / {_MAXSC2}.0, 6) AS score,
                'doc/' || doc_id AS path
         FROM scored ORDER BY raw_w DESC, docid ASC LIMIT 20
     """
@@ -1323,7 +1347,7 @@ def oracle_sql() -> dict[str, str]:
         scored AS (
           SELECT a.docid, d.lang,
             ((CASE WHEN adj.doc_id IS NOT NULL THEN 2.0 ELSE 1.0 END) + 2.0)
-               / 69.0 * 2000
+               / {_MAXLCS3}.0 * {_PROX}
               + (bmkw.bm_kw
                  + 2 * {_idf('langdf.df', 'n.n', 3)} * 1.0 / 2.2
                  + 0.5) * 999
@@ -1337,7 +1361,7 @@ def oracle_sql() -> dict[str, str]:
           WHERE bmkw.nt = 2
         )
         SELECT CAST(row_number() OVER (ORDER BY raw_w DESC, docid ASC) AS INT) AS rank,
-               docid, round(raw_w / 47003.0, 6) AS score, lang
+               docid, round(raw_w / {_MAXSC3}.0, 6) AS score, lang
         FROM scored ORDER BY raw_w DESC, docid ASC LIMIT 10
     """
 
@@ -1369,11 +1393,11 @@ def oracle_sql() -> dict[str, str]:
     def _lc_scored(tfs, tfj, wsum, dfs, dfj, nn, extra=""):
         return f"""
           SELECT f.docid,
-            {wsum} / 46.0 * 2000
+            {wsum} / {_MAXLCS2}.0 * {_PROX}
              + (2 * {_idf(dfs, nn, 2)} * {tfs} / ({tfs} + 1.2)
               + 2 * {_idf(dfj, nn, 2)} * {tfj} / ({tfj} + 1.2)
               + 0.5) * 999
-             + 1000 * pow(greatest(1.0 - ({_NOW} - (f.date_insert + f.date_modify) / 2.0) / 47304000.0, 0.0), 4) AS raw_w
+             + 1000 * pow(greatest(1.0 - ({_NOW} - (f.date_insert + f.date_modify) / 2.0) / {_HORIZON}.0, 0.0), 4) AS raw_w
           FROM facts2 f CROSS JOIN df1 d {extra}
           WHERE {tfs} > 0 AND {tfj} > 0"""
 
@@ -1437,24 +1461,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM facts2 f CROSS JOIN top1 t WHERE f.docid <> t.topdocid),
         s4 AS (
           SELECT f.docid,
-            f.wsum2 / 46.0 * 2000
+            f.wsum2 / {_MAXLCS2}.0 * {_PROX}
              + (2 * {_idf('d4.dfs', '249.0', 2)} * f.tfs2 / (f.tfs2 + 1.2)
               + 2 * {_idf('d4.dfj', '249.0', 2)} * f.tfj2 / (f.tfj2 + 1.2)
               + 0.5) * 999
-             + 1000 * pow(greatest(1.0 - ({_NOW} - (f.date_insert + f.date_modify) / 2.0) / 47304000.0, 0.0), 4) AS raw_w
+             + 1000 * pow(greatest(1.0 - ({_NOW} - (f.date_insert + f.date_modify) / 2.0) / {_HORIZON}.0, 0.0), 4) AS raw_w
           FROM facts2 f CROSS JOIN df4 d4 CROSS JOIN top1 t
           WHERE f.tfs2 > 0 AND f.tfj2 > 0 AND f.docid <> t.topdocid
         )
         SELECT '1_built' AS phase, {_lc_rank} AS rank, docid,
-               round(raw_w / 46999.0, 6) AS score FROM s1 QUALIFY rank <= 10
+               round(raw_w / {_MAXSC2}.0, 6) AS score FROM s1 QUALIFY rank <= 10
         UNION ALL
-        SELECT '2_upserted', {_lc_rank}, docid, round(raw_w / 46999.0, 6)
+        SELECT '2_upserted', {_lc_rank}, docid, round(raw_w / {_MAXSC2}.0, 6)
         FROM s2 QUALIFY {_lc_rank} <= 10
         UNION ALL
-        SELECT '3_deleted', {_lc_rank}, docid, round(raw_w / 46999.0, 6)
+        SELECT '3_deleted', {_lc_rank}, docid, round(raw_w / {_MAXSC2}.0, 6)
         FROM s3 QUALIFY {_lc_rank} <= 10
         UNION ALL
-        SELECT '4_compacted', {_lc_rank}, docid, round(raw_w / 46999.0, 6)
+        SELECT '4_compacted', {_lc_rank}, docid, round(raw_w / {_MAXSC2}.0, 6)
         FROM s4 QUALIFY {_lc_rank} <= 10
     """
 
