@@ -545,8 +545,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_snippets"] = engine_snippets
 
     def engine_suggest(spark, sf):  # Q17 did-you-mean — golden VALUES
-        # oracle (sf0.01 snapshot; candidate dictionary is the STEMMED
-        # term dict, so 'mergge' -> 'merg' — a stem, by design)
+        # oracle (sf0.01 snapshot; candidates are SURFACE forms from the
+        # index_exact_words rows, so 'mergge' -> 'merge', a real word —
+        # reference behavior SphinxSearch_spell.php:170-188)
         from sphinxsearchengine_spark.query.suggest import did_you_mean
 
         idx = _gate_index(spark, sf)
@@ -1528,12 +1529,13 @@ def oracle_sql() -> dict[str, str]:
         ) AS t(fixture, pos, term)
     """
 
-    # Q17 golden snapshot at gate sf (suggestions come from the STEMMED
-    # dictionary — 'merg' is the stem of 'merge', by design)
+    # Q17 golden snapshot at gate sf (suggestions are SURFACE forms from
+    # the '=word' exact rows — real words, not stems: reference contract
+    # SphinxSearch_spell.php:170-188 picks min-edit-distance real words)
     sql["engine_suggest"] = """
         SELECT * FROM (VALUES
           ('sparkk join', 'spark join'),
-          ('mergge', 'merg'),
+          ('mergge', 'merge'),
           ('spark join', '')
         ) AS t(query, suggestion)
     """

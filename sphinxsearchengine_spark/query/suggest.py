@@ -4,8 +4,18 @@ The reference shells out to pspell/aspell and picks the suggestion with
 minimal Levenshtein distance (SphinxSearch_spell.php:14-47,170-188).
 No external speller exists at 10^12-doc scale anyway; the index's own
 term dictionary is the richer lexicon.  For each query keyword that is
-rare/absent, propose the dictionary term with (edit distance <= 2)
-minimizing (distance, -df, term).
+rare/absent, propose the dictionary SURFACE FORM with (edit distance
+<= 2) minimizing (distance, -count, form).
+
+Candidates are surface forms, not stems (round-3 verdict #3: the
+stemmed dictionary suggested 'merg' for 'mergge' — a stem the reference
+speller would never utter).  index_exact_words=1 means the index
+already stores every surface form with a doc count: a stem-changing
+surface w lives on its own '=w' row (whose exact_df == its df), a
+stem-identical surface lives on its stem row's exact_df.  So the
+candidate pool is simply ALL dictionary rows with exact_df > 0, keyed
+by the '='-stripped term — real indexed words, ranked by how many
+live docs contain them verbatim.
 
 ALL unknown keywords of a query are resolved in ONE pass (round 2 ran
 one Spark job per keyword — the N+1 pattern struck exactly when a query
@@ -55,14 +65,16 @@ def suggest_terms(
     dict_pdf=None,
     extra_words: list[str] | None = None,
 ) -> dict[str, str | None]:
-    """Best dictionary replacement for EVERY word in one pass.
+    """Best surface-form replacement for EVERY word in one pass.
 
     Returns {word: suggestion-or-None}; None when no candidate within
     ``max_dist`` exists or the best candidate is the word itself.
+    ``min_df``: minimum exact-occurrence doc count for a surface form
+    to be suggestable.
     ``dict_pdf``: Searcher's driver-pinned dictionary frame — when given,
     no Spark job runs at all.
     ``extra_words``: additional candidate words (the user's personal
-    dictionary, Q18) that outrank index terms on the df tie-break.
+    dictionary, Q18) that outrank index terms on the count tie-break.
     """
     words = [w.lower() for w in words]
     if not words:
@@ -91,46 +103,52 @@ def suggest_terms(
         {n + d for n in lens for d in range(-max_dist, max_dist + 1) if n + d > 0}
     )
 
+    # surface form = '='-stripped term; count = exact_df (for '=w' rows
+    # exact_df == df; for stem-identical surfaces it is the stem row's
+    # exact-occurrence doc count) — see module docstring
     if dict_pdf is not None:
-        cand = dict_pdf[
-            ~dict_pdf["term"].str.startswith(EXACT_PREFIX)
-            & dict_pdf["term"].str.len().isin(band_lens)
-            & (dict_pdf["df"] >= min_df)
-        ]
-        # duplicate terms across segments: sum df like the Spark path
-        df_by_term = cand.groupby("term")["df"].sum()
+        cand = dict_pdf[dict_pdf["exact_df"] >= max(min_df, 1)]
+        forms = cand["term"].where(
+            ~cand["term"].str.startswith(EXACT_PREFIX),
+            cand["term"].str.slice(len(EXACT_PREFIX)),
+        )
+        cand = cand.assign(form=forms)
+        cand = cand[cand["form"].str.len().isin(band_lens)]
+        cnt_by_form = cand.groupby("form")["exact_df"].sum()
         for w in words:
-            for term, dfv in df_by_term.items():
-                if abs(len(term) - len(w)) > max_dist:
+            for form, cv in cnt_by_form.items():
+                if abs(len(form) - len(w)) > max_dist:
                     continue
-                d = _levenshtein(term, w)
+                d = _levenshtein(form, w)
                 if d <= max_dist:
-                    offer(w, (d, -int(dfv), term))
+                    offer(w, (d, -int(cv), form))
     else:
         from sphinxsearchengine_spark.query.executor import _live_union
 
         layout = IndexLayout(index_dir)
         dic = _live_union(spark, layout, "dict")
         wdf = spark.createDataFrame([(w,) for w in words], "word string")
+        form = F.when(
+            F.col("term").startswith(EXACT_PREFIX),
+            F.expr(f"substring(term, {len(EXACT_PREFIX) + 1})"),
+        ).otherwise(F.col("term"))
         j = (
-            dic.filter(
-                (~F.col("term").startswith(EXACT_PREFIX))
-                & F.length("term").isin(band_lens)
-                & (F.col("df") >= min_df)
-            )
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"))
+            dic.filter(F.col("exact_df") >= max(min_df, 1))
+            .select(form.alias("form"), "exact_df")
+            .filter(F.length("form").isin(band_lens))
+            .groupBy("form")
+            .agg(F.sum("exact_df").alias("cnt"))
             .join(F.broadcast(wdf),
-                  F.abs(F.length("term") - F.length("word")) <= max_dist)
-            .withColumn("dist", F.levenshtein(F.col("term"), F.col("word")))
+                  F.abs(F.length("form") - F.length("word")) <= max_dist)
+            .withColumn("dist", F.levenshtein(F.col("form"), F.col("word")))
             .filter(F.col("dist") <= max_dist)
         )
         best = j.groupBy("word").agg(
-            F.min(F.struct(F.col("dist"), (-F.col("df")).alias("ndf"),
-                           F.col("term"))).alias("b")
+            F.min(F.struct(F.col("dist"), (-F.col("cnt")).alias("ncnt"),
+                           F.col("form"))).alias("b")
         )
         for r in best.collect():
-            offer(r.word, (int(r.b.dist), int(r.b.ndf), r.b.term))
+            offer(r.word, (int(r.b.dist), int(r.b.ncnt), r.b.form))
 
     out: dict[str, str | None] = {w: None for w in words}
     for w, key in best_key.items():
