@@ -595,6 +595,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "Running searches indexed",   # T3 stemming + T5 exact duals
             "ПОИСК Запросы x y",          # T1 Cyrillic fold + T4 min-len
             "a1-b2&c3+d4@e5$f6",          # every blend char
+            "cafe\u0301 glass",           # T7 NFC: NFD e+U+0301 must
+            # compose to é (a separator) -> token 'caf'; without the
+            # normalize call the combining mark alone separates and the
+            # token would be 'cafe' -> hash-red gate row
         ]
         rows = []
         for i, text in enumerate(fixtures):
@@ -622,6 +626,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      now_ts=PINNED_NOW)
         return res.select("path")
     q["engine_field_limit"] = engine_field_limit
+
+    def engine_prefix(spark, sf):  # Q5 prefix/star expansion —
+        # value-checked: 'b*' expands against the dictionary to exactly
+        # {batch, big} at gate sf (both stem-invariant; no title digit /
+        # 'doc' / category-part term starts with 'b'), so the engine
+        # match set equals the SQL raw-token LIKE 'b%' match set.
+        # Reference contract: sphinx.conf:20 (enable_star),
+        # SphinxSearchEngine.php:32 (star-syntax queries).
+        from sphinxsearchengine_spark.corpus import PINNED_NOW
+        from sphinxsearchengine_spark.query.executor import search
+
+        idx = _gate_index(spark, sf)
+        res = search(spark, idx, "b*", limit=1000, now_ts=PINNED_NOW)
+        return res.select("path")
+    q["engine_prefix"] = engine_prefix
 
     def engine_category_match(spark, sf):  # Q13/Q14 category filter match set
         from sphinxsearchengine_spark.corpus import PINNED_NOW
@@ -1201,6 +1220,15 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id IN (101, 202, 303)
     """
 
+    # Q5: expansion of 'b*' = every dict term with prefix 'b' = {{batch,
+    # big}} (stem-invariant vocabulary, see engine_prefix comment), so
+    # the engine's OR-of-expansions match set is the raw-token LIKE set
+    sql["engine_prefix"] = f"""
+        WITH {_TOK_CTE}
+        SELECT DISTINCT 'doc/' || doc_id AS path
+        FROM tok WHERE term LIKE 'b%'
+    """
+
     sql["engine_category_match"] = f"""
         WITH {_TOK_CTE},
         m AS (
@@ -1523,6 +1551,10 @@ def oracle_sql() -> dict[str, str]:
           (3, 5, '=e5'),
           (3, 6, 'f6'),
           (3, 6, '=f6'),
+          (4, 1, 'caf'),
+          (4, 1, '=caf'),
+          (4, 2, 'glass'),
+          (4, 2, '=glass'),
           (100, 0, '__some_category___'),
           (101, 0, '_empty_'),
           (102, 0, 'a b c d')

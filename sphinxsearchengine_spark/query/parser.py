@@ -69,16 +69,26 @@ def _atom_from_text(text: str) -> list[Atom]:
     exact = text.startswith("=")
     prefix = text.endswith("*")
     stripped = text.strip("=*")
+    if prefix:
+        # a prefix stub is not a word: min_word_len gates INDEXED terms
+        # (and the expansion only ever yields real dict terms of full
+        # length), so 'b*' must survive even with min_word_len=2
+        from sphinxsearchengine_spark.config import MIN_WORD_LEN
+
+        parts = [forms[0] for _, forms in tokenize(stripped, min_word_len=1)]
+        if not parts:
+            return []
+        # only the last part keeps prefix semantics: "foo_ba*" → foo AND ba*
+        atoms = [
+            Atom("kw", (w,)) for w in parts[:-1] if len(w) >= MIN_WORD_LEN
+        ]
+        atoms.append(Atom("prefix", (parts[-1],)))
+        return atoms
     words = _norm_word(stripped)
     if not words:
         return []
     if exact:
         return [Atom("exact", (w,)) for w in words]
-    if prefix:
-        # only the last part keeps prefix semantics: "foo_ba*" → foo AND ba*
-        atoms = [Atom("kw", (w,)) for w in words[:-1]]
-        atoms.append(Atom("prefix", (words[-1],)))
-        return atoms
     if len(words) > 1:
         # blended query word like foo_bar → adjacency phrase of parts
         return [Atom("phrase", tuple(words))]

@@ -154,3 +154,28 @@ class TestMangleAndSanitize:
         assert is_blank_query("!!! ())")
         assert not is_blank_query("ok")
         assert not is_blank_query("привет")
+
+
+class TestShortPrefixParse:
+    """A prefix stub shorter than min_word_len must still parse: the
+    expansion only ever yields full-length dict terms, so 'b*' is a
+    legitimate star query (enable_star, SphinxSearchEngine.php:32)."""
+
+    def test_single_char_prefix(self):
+        from sphinxsearchengine_spark.query.parser import parse_query
+
+        q = parse_query("b*")
+        assert not q.blank
+        assert len(q.groups) == 1
+        assert q.groups[0].alts[0].kind == "prefix"
+        assert q.groups[0].alts[0].words == ("b",)
+
+    def test_blended_short_prefix_tail(self):
+        from sphinxsearchengine_spark.query.parser import parse_query
+
+        # 'foo_b*' → kw foo AND prefix b; the sub-min-len tail survives
+        # as a prefix while a sub-min-len kw part would be dropped
+        q = parse_query("foo_b*")
+        kinds = [(g.alts[0].kind, g.alts[0].words) for g in q.groups]
+        assert ("kw", ("foo",)) in kinds
+        assert ("prefix", ("b",)) in kinds
