@@ -125,6 +125,58 @@ def ivf_centroids(df: DataFrame, id_col: str, vec_col: str, k: int = 8) -> np.nd
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def ivf_centroids_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 10,
+    sample_rows: int = 100_000,
+) -> np.ndarray:
+    """Spherical-KMeans IVF training (the quality upgrade over the
+    smallest-id seed centroids of :func:`ivf_centroids`; both feed the
+    SAME serving path — `with_ivf_cells` + `ivf_topk`).
+
+    Deterministic end to end: the training sample is the `sample_rows`
+    smallest-id vectors (a content-independent, reproducible subset —
+    no RNG, no wall clock), init is the k smallest-id sample vectors,
+    then Lloyd iterations with cosine assignment run in numpy on the
+    driver.  At 10^12 rows the sample collect is the only driver-side
+    step (bounded by sample_rows), cell assignment stays a distributed
+    column expression; swap the sample for a `TABLESAMPLE` scan if the
+    smallest-id prefix is pathologically clustered.
+
+    Empty cells re-seed to the farthest sample vector (standard KMeans
+    repair, deterministic tie-break by index)."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(sample_rows)
+        .collect()
+    )
+    x = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    k = min(k, len(xn))
+    cents = xn[:k].copy()
+    for _ in range(iters):
+        sims = xn @ cents.T                       # (n, k) cosine
+        assign = np.argmax(sims, axis=1)
+        new = np.zeros_like(cents)
+        np.add.at(new, assign, xn)
+        counts = np.bincount(assign, minlength=k)
+        empty = counts == 0
+        if empty.any():
+            # farthest-point re-seed for empty cells, deterministic
+            far = np.argsort(sims.max(axis=1), kind="stable")
+            for j, e in zip(far, np.flatnonzero(empty)):
+                new[e] = xn[j]
+            counts = np.maximum(counts, 1)
+        cents = new / np.maximum(
+            np.linalg.norm(new, axis=1, keepdims=True), 1e-12
+        )
+    return cents
+
+
 def ivf_cell_col(vec_col, centroids: np.ndarray):
     """argmax_j dot(vec, centroid_j) as a native column expression
     (centroids pre-normalized, so this ranks by cosine); ties take the
