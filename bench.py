@@ -1,6 +1,12 @@
 #!/usr/bin/env python
 """Headline benchmark — prints ONE JSON line.
 
+Every cell is best-of-N (2 full builds, 3 runs per query/op cell) with
+sync+drop_caches settling around the builds: this host's co-tenant
+jitter is ±50-130% and single-shot cells picked up 3-5× spikes in
+round 3; the per-cell minimum is the least-contaminated estimate.
+`value` = sum of reported cells; `suite_wall_with_repeats` = wall.
+
 Components:
 1. inverted-index bulk build over the synthetic source-code corpus
    (10× the sf's documents row count) — reports docs indexed/sec

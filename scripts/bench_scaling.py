@@ -57,12 +57,25 @@ try:
     t0 = time.time()
     build_index(spark, docs, idx, EngineConfig(term_buckets=32), salt_factor=4)
     build_s = time.time() - t0
+    # per-stage durations from the manifest's completion timestamps
+    # (docs -> fused postings+blockmax -> dict); evidences WHICH stage
+    # eats the scaling, not just the total
+    from sphinxsearchengine_spark.index.layout import IndexLayout
+    man = json.load(open(IndexLayout(idx).manifest("seg_00000")))
+    ts = {{k: v["ts"] for k, v in man["stages"].items()}}
+    stage_s = {{
+        "docs": ts["docs"] - t0,
+        "postings_blockmax": ts["blockmax"] - ts["docs"],
+        "dict": ts["dict"] - ts["blockmax"],
+        "finalize": (t0 + build_s) - ts["dict"],
+    }}
     t0 = time.time()
     for q in ["index search", '"alpha beta"', "hotterm"]:
         search(spark, idx, q, limit=20, now_ts=PINNED_NOW).collect()
     query_s = time.time() - t0
     print("RESULT " + json.dumps({{"cores": cores, "build_s": build_s,
-        "docs_per_sec": n_docs / build_s, "query_s": query_s}}))
+        "docs_per_sec": n_docs / build_s, "query_s": query_s,
+        "stage_s": {{k: round(v, 2) for k, v in stage_s.items()}}}}))
 finally:
     shutil.rmtree(work, ignore_errors=True)
 """
@@ -128,6 +141,12 @@ def _median_cell(results: list[dict], cores: int, n_docs: int) -> dict:
     best["all_build_s"] = sorted(round(r["build_s"], 1) for r in results)
     best["min_build_s"] = min(r["build_s"] for r in results)
     best["query_s"] = statistics.median(r["query_s"] for r in results)
+    staged = [r["stage_s"] for r in results if "stage_s" in r]
+    if staged:
+        best["stage_s"] = {
+            k: round(statistics.median(s[k] for s in staged), 1)
+            for k in staged[0]
+        }
     return best
 
 
@@ -189,6 +208,38 @@ def _size_md(rep: dict) -> str:
         "| 3-query latency total (s, median) | "
         + " | ".join(f"{r['query_s']:.2f}" for r in cells) + " |\n\n",
     ]
+    # per-stage medians: which stage scales and which is fixed overhead
+    if all("stage_s" in r for r in cells):
+        stage_names = list(cells[0]["stage_s"])
+        out.append(
+            "Per-stage build seconds (median), with the per-stage N→4N\n"
+            "efficiency where both pair levels exist:\n\n"
+            f"| stage | {hdr} |"
+            + "".join(
+                f" eff {a}→{b} |"
+                for a, b in N4N_PAIRS
+                if a in rep["cells"] and b in rep["cells"]
+            )
+            + "\n|---|"
+            + "---|" * len(cores)
+            + "".join(
+                "---|"
+                for a, b in N4N_PAIRS
+                if a in rep["cells"] and b in rep["cells"]
+            )
+            + "\n"
+        )
+        for sname in stage_names:
+            row = f"| {sname} | " + " | ".join(
+                f"{r['stage_s'][sname]:.1f}" for r in cells
+            )
+            for a, b in N4N_PAIRS:
+                if a in rep["cells"] and b in rep["cells"]:
+                    ta = rep["cells"][a]["stage_s"][sname]
+                    tb = rep["cells"][b]["stage_s"][sname]
+                    row += f" | {ta / tb / 4.0:.2f}" if tb > 0 else " | —"
+            out.append(row + " |\n")
+        out.append("\n")
     ceil_path = os.path.join(REPO, "BENCH", "cpu_ceiling.json")
     ceil = json.load(open(ceil_path)) if os.path.exists(ceil_path) else {}
     for pair, v in rep["pairs"].items():
