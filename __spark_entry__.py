@@ -455,6 +455,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            hash_fn="md5")
     q["text_fingerprint"] = text_fingerprint
 
+    def dedup_embedding_cosine(spark, sf):
+        # embedding-cosine near-dup pairs (the vector-space dedup mode):
+        # exact mode here — the O(n^2) self-join IS the oracle semantics;
+        # the LSH-blocked scale path is recall-tested in pytest
+        from sphinxsearchengine_spark.ops.similarity import (
+            embedding_cosine_pairs,
+        )
+
+        emb = _t(spark, sf, "embeddings")
+        return embedding_cosine_pairs(
+            emb, "vec_id", "embedding", threshold=0.4
+        )
+    q["dedup_embedding_cosine"] = dedup_embedding_cosine
+
     def ann_cosine_topk(spark, sf):
         from sphinxsearchengine_spark.ops.similarity import cosine_topk
 
@@ -1123,6 +1137,18 @@ def oracle_sql() -> dict[str, str]:
                     THEN 1.0 ELSE 0.0 END AS quality
         FROM m
     """
+    sql["dedup_embedding_cosine"] = """
+        WITH nv AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+    """
+
     sql["ann_cosine_topk"] = """
         WITH q AS (
           SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0

@@ -61,6 +61,86 @@ def cosine_topk(
     )
 
 
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    bucket_col: str | None = None,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: all (id_a < id_b) with
+    cosine(vec_a, vec_b) >= threshold — the vector-space member of the
+    dedup family (exact digest / n-gram Jaccard / MinHash / SimHash /
+    this).
+
+    Two modes:
+
+    - ``bucket_col=None`` (exact): an O(n²) non-equi self-join — the
+      small-corpus / within-partition baseline and the correctness
+      oracle.  Do NOT run this at 10^12 rows.
+    - ``bucket_col='lsh_bucket'`` (scale path): candidates are blocked
+      on a PERSISTED hyperplane sign-bucket column (materialized once by
+      :func:`with_lsh_buckets` with the same ``n_planes``/seed).  Each
+      row additionally probes every bucket within ``probe_hamming`` bit
+      flips, so any pair whose buckets differ by <= 2·probe_hamming
+      bits meets in some key — near-dup pairs (tiny angle => tiny
+      expected bit difference) are recovered with high recall while the
+      join fans out only ~(n_planes+1)·n rows.  Every candidate is
+      verified with the exact cosine, so precision is always 1; recall
+      is < 1 by design (pytest asserts >= 0.9 on the seeded fixture).
+
+    Cosine is computed as dot/(norm·norm) in BOTH modes — the identical
+    expression shape the DuckDB oracle uses, so the gate compares
+    bit-comparable doubles.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        *([F.col(bucket_col).alias("bkt")] if bucket_col else []),
+    )
+
+    def sides(src, extra=()):
+        a = src.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"),
+            F.col("nrm").alias("na"), *extra,
+        )
+        b = src.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"), *extra,
+        )
+        return a, b
+
+    if bucket_col is None:
+        a, b = sides(base)
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        probes = F.array(
+            F.col("bkt"),
+            *[
+                F.col("bkt").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_planes)
+                if probe_hamming >= 1
+            ],
+        )
+        keyed = base.select("id", "v", "nrm", F.explode(probes).alias("key"))
+        a, b = sides(keyed, extra=(F.col("key"),))
+        cand = (
+            a.join(b, ["key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .drop("key")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.withColumn("_c", cos)
+        .filter(F.col("_c") >= threshold)
+        .select("id_a", "id_b", F.round("_c", 6).alias("cosine"))
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim)

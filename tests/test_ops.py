@@ -417,3 +417,58 @@ class TestIVF:
                             exclude_id=qid).collect()}
             recalls.append(len(got & exact) / 10.0)
         assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+    def test_embedding_cosine_pairs_exact_vs_numpy(self, spark):
+        """Exact mode must equal the numpy all-pairs oracle."""
+        from sphinxsearchengine_spark.ops.similarity import (
+            embedding_cosine_pairs,
+        )
+
+        rng = np.random.RandomState(11)
+        vecs = rng.randn(80, 12).astype("float32")
+        # plant near-dups
+        for i, j in [(0, 40), (5, 41), (9, 42)]:
+            vecs[j] = vecs[i] + 0.05 * rng.randn(12).astype("float32")
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "id long, vec array<float>",
+        )
+        got = {(r.id_a, r.id_b) for r in
+               embedding_cosine_pairs(df, "id", "vec", threshold=0.8).collect()}
+        v = vecs.astype(np.float64)
+        n = v / np.linalg.norm(v, axis=1, keepdims=True)
+        sims = n @ n.T
+        want = {(i, j) for i in range(80) for j in range(i + 1, 80)
+                if sims[i, j] >= 0.8}
+        assert got == want
+        assert {(0, 40), (5, 41), (9, 42)} <= got
+
+    def test_embedding_cosine_pairs_lsh_blocked_recall(self, spark):
+        """LSH-blocked mode: precision 1 (exact verify) and recall >= 0.9
+        on the planted near-dups — the 10^12-row path never does the
+        O(n^2) join."""
+        from sphinxsearchengine_spark.ops.similarity import (
+            embedding_cosine_pairs, with_lsh_buckets,
+        )
+
+        rng = np.random.RandomState(13)
+        vecs = rng.randn(200, 16).astype("float32")
+        for i in range(0, 60, 2):
+            vecs[i + 1] = vecs[i] + 0.04 * rng.randn(16).astype("float32")
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "id long, vec array<float>",
+        )
+        exact = {(r.id_a, r.id_b) for r in
+                 embedding_cosine_pairs(df, "id", "vec",
+                                        threshold=0.9).collect()}
+        bucketed = with_lsh_buckets(df, "vec", n_planes=8)
+        blocked = {(r.id_a, r.id_b) for r in
+                   embedding_cosine_pairs(
+                       bucketed, "id", "vec", threshold=0.9,
+                       bucket_col="lsh_bucket", n_planes=8,
+                   ).collect()}
+        assert blocked <= exact            # precision 1
+        assert len(exact) > 0
+        assert len(blocked & exact) / len(exact) >= 0.9, (
+            len(blocked), len(exact))
