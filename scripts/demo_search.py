@@ -5,6 +5,7 @@ Usage (the reference's rebuild-sphinx.php + searchText analog):
 
     spark-submit scripts/demo_search.py <index_dir> build [n_docs]
     spark-submit scripts/demo_search.py <index_dir> search 'query' [limit]
+    spark-submit scripts/demo_search.py <index_dir> suggest 'query'
 """
 
 from __future__ import annotations
@@ -57,6 +58,13 @@ def main() -> int:
                   f"{r.repo}:{r.path} [{r.lang}]")
         if not rows:
             print("  (no results)")
+    elif cmd == "suggest":
+        from sphinxsearchengine_spark.engine import Searcher
+
+        q = sys.argv[3]
+        out = Searcher(spark, index_dir).suggest(q)
+        print(f"SUGGEST {q!r} -> {out!r}" if out else
+              f"SUGGEST {q!r} -> (all keywords known)")
     else:
         print(f"unknown cmd {cmd}", file=sys.stderr)
         return 2
