@@ -65,3 +65,15 @@ def test_lang_filter_pushed_down(spark, idx):
     plan = _plan(scored)
     pushed = plan.split("PushedFilters", 1)[1][:400] if "PushedFilters" in plan else ""
     assert "lang" in pushed  # Q6 attribute filter reaches the parquet scan
+
+
+def test_ft_bm25_topk_scans_documents_once(spark):
+    """The SQL-profile BM25 gate query must read the documents parquet
+    exactly ONCE: the r3 plan joined against a dfreq aggregate whose
+    build side re-ran the full scan+explode (a second corpus pass at
+    100 TB).  df now comes from a window over the tiny tf set."""
+    import __spark_entry__ as gate
+
+    df = gate.queries()["ft_bm25_topk"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert plan.count("documents.parquet") == 1, plan
