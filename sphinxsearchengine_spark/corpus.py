@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sphinxsearchengine_spark.config import FIELD_SIZE_CAP
-from sphinxsearchengine_spark.text.tokenizer import mangle_category
+from sphinxsearchengine_spark.text.tokenizer import mangle_category_col
 
 SEED = 42
 
@@ -145,8 +145,12 @@ def derive_documents(corpus: DataFrame) -> DataFrame:
     docid and the date attributes are md5-derived (one digest: docid =
     low 64 bits, date entropy = high 64 bits) so the DuckDB correctness
     oracle can reproduce attribute-dependent outputs (ordering,
-    freshness-ranked scores) value-for-value in SQL."""
-    mangle = F.udf(mangle_category)  # tiny cols only (repo/lang), not hot path
+    freshness-ranked scores) value-for-value in SQL.
+
+    Everything here is native column functions — the category mangling
+    runs through mangle_category_col (translate+regexp_replace), not a
+    Python UDF, so the whole derivation stays inside whole-stage codegen
+    (plan-tested: no BatchEvalPython, tests/test_plans.py)."""
     key = F.concat_ws("\x1f", "repo", "path", "commit")
     return (
         corpus.withColumn("docid", _md5_i64(key, lo=True))
@@ -156,7 +160,11 @@ def derive_documents(corpus: DataFrame) -> DataFrame:
         .withColumn("category", F.array("repo", "lang"))
         .withColumn(
             "category_search",
-            F.concat_ws(" ", mangle(F.col("repo")), mangle(F.col("lang"))),
+            F.concat_ws(
+                " ",
+                mangle_category_col(F.col("repo")),
+                mangle_category_col(F.col("lang")),
+            ),
         )
         .withColumn(
             "date_insert",

@@ -61,6 +61,22 @@ def cosine_topk(
     )
 
 
+def _flip_masks(n_planes: int, radius: int) -> list[int]:
+    """All XOR masks with <= `radius` bits set over `n_planes` bits
+    (0 first, then ascending popcount) — the multi-probe key set shared
+    by the pair and top-k paths."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     id_col: str,
@@ -84,10 +100,12 @@ def embedding_cosine_pairs(
       on a PERSISTED hyperplane sign-bucket column (materialized once by
       :func:`with_lsh_buckets` with the same ``n_planes``/seed).  Each
       row additionally probes every bucket within ``probe_hamming`` bit
-      flips, so any pair whose buckets differ by <= 2·probe_hamming
-      bits meets in some key — near-dup pairs (tiny angle => tiny
-      expected bit difference) are recovered with high recall while the
-      join fans out only ~(n_planes+1)·n rows.  Every candidate is
+      flips (all C(n_planes, r) masks for r <= probe_hamming, not just
+      single bits — ADVICE r4), so any pair whose buckets differ by
+      <= 2·probe_hamming bits meets in some key — near-dup pairs (tiny
+      angle => tiny expected bit difference) are recovered with high
+      recall while the join fans out ~sum_r C(n_planes, r)·n rows
+      (n_planes+1 per row at the default radius 1).  Every candidate is
       verified with the exact cosine, so precision is always 1; recall
       is < 1 by design (pytest asserts >= 0.9 on the seeded fixture).
 
@@ -117,13 +135,16 @@ def embedding_cosine_pairs(
         a, b = sides(base)
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
+        if not 0 <= probe_hamming <= n_planes:
+            raise ValueError(
+                f"probe_hamming must be in [0, n_planes={n_planes}], "
+                f"got {probe_hamming}"
+            )
         probes = F.array(
-            F.col("bkt"),
             *[
-                F.col("bkt").bitwiseXOR(F.lit(1 << i))
-                for i in range(n_planes)
-                if probe_hamming >= 1
-            ],
+                F.col("bkt").bitwiseXOR(F.lit(m))
+                for m in _flip_masks(n_planes, probe_hamming)
+            ]
         )
         keyed = base.select("id", "v", "nrm", F.explode(probes).alias("key"))
         a, b = sides(keyed, extra=(F.col("key"),))
@@ -185,14 +206,7 @@ def _probe_buckets(query_vec, planes, probe_hamming: int) -> list[int]:
     for i, p in enumerate(planes):
         if float(np.dot(p, query_vec)) > 0:
             qsig |= 1 << i
-    probes = {qsig}
-    if probe_hamming >= 1:
-        probes |= {qsig ^ (1 << i) for i in range(n_planes)}
-    if probe_hamming >= 2:
-        for i in range(n_planes):
-            for j in range(i + 1, n_planes):
-                probes.add(qsig ^ (1 << i) ^ (1 << j))
-    return sorted(probes)
+    return sorted({qsig ^ m for m in _flip_masks(n_planes, probe_hamming)})
 
 
 def ivf_centroids(df: DataFrame, id_col: str, vec_col: str, k: int = 8) -> np.ndarray:
@@ -212,6 +226,7 @@ def ivf_centroids_kmeans(
     k: int = 8,
     iters: int = 10,
     sample_rows: int = 100_000,
+    sample_fraction: float | None = None,
 ) -> np.ndarray:
     """Spherical-KMeans IVF training (the quality upgrade over the
     smallest-id seed centroids of :func:`ivf_centroids`; both feed the
@@ -223,17 +238,32 @@ def ivf_centroids_kmeans(
     then Lloyd iterations with cosine assignment run in numpy on the
     driver.  At 10^12 rows the sample collect is the only driver-side
     step (bounded by sample_rows), cell assignment stays a distributed
-    column expression; swap the sample for a `TABLESAMPLE` scan if the
-    smallest-id prefix is pathologically clustered.
+    column expression.
+
+    If ids are NOT uniform over their space (sequential ids with
+    time-clustered content), pass ``sample_fraction``: the sample then
+    comes from a seeded Bernoulli ``df.sample`` (TABLESAMPLE) over the
+    whole table instead of the smallest-id prefix — deterministic for a
+    fixed dataset+partitioning, and the collected rows are sorted by id
+    so the KMeans init does not depend on arrival order.
 
     Empty cells re-seed to the farthest sample vector (standard KMeans
     repair, deterministic tie-break by index)."""
-    rows = (
-        df.select(id_col, vec_col)
-        .orderBy(F.col(id_col).asc())
-        .limit(sample_rows)
-        .collect()
-    )
+    if sample_fraction is not None:
+        rows = (
+            df.select(id_col, vec_col)
+            .sample(withReplacement=False, fraction=sample_fraction, seed=42)
+            .limit(sample_rows)
+            .collect()
+        )
+        rows.sort(key=lambda r: r[0])
+    else:
+        rows = (
+            df.select(id_col, vec_col)
+            .orderBy(F.col(id_col).asc())
+            .limit(sample_rows)
+            .collect()
+        )
     x = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
     xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     k = min(k, len(xn))
@@ -250,7 +280,6 @@ def ivf_centroids_kmeans(
             far = np.argsort(sims.max(axis=1), kind="stable")
             for j, e in zip(far, np.flatnonzero(empty)):
                 new[e] = xn[j]
-            counts = np.maximum(counts, 1)
         cents = new / np.maximum(
             np.linalg.norm(new, axis=1, keepdims=True), 1e-12
         )

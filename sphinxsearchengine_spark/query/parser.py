@@ -65,10 +65,19 @@ def _norm_word(w: str) -> list[str]:
 
 
 def _atom_from_text(text: str) -> list[Atom]:
-    """One query word -> atom(s), honoring =exact / prefix* markers."""
+    """One query word -> atom(s), honoring =exact / prefix* markers.
+
+    On conflicting markers ('=word*') the exact marker wins — '=' is the
+    stronger, more specific request (match this surface form only), and
+    this preserves the pre-round-4 precedence (ADVICE r4)."""
     exact = text.startswith("=")
     prefix = text.endswith("*")
     stripped = text.strip("=*")
+    if exact:
+        words = _norm_word(stripped)
+        if not words:
+            return []
+        return [Atom("exact", (w,)) for w in words]
     if prefix:
         # a prefix stub is not a word: min_word_len gates INDEXED terms
         # (and the expansion only ever yields real dict terms of full
@@ -87,8 +96,6 @@ def _atom_from_text(text: str) -> list[Atom]:
     words = _norm_word(stripped)
     if not words:
         return []
-    if exact:
-        return [Atom("exact", (w,)) for w in words]
     if len(words) > 1:
         # blended query word like foo_bar → adjacency phrase of parts
         return [Atom("phrase", tuple(words))]

@@ -174,6 +174,26 @@ class TestDedup:
         # the dropped-hot-shingle hashes must NOT be inlined in the plan
         assert "array_except(shs, [" not in plan.replace("\n", "")
 
+    def test_release_intermediates_leaves_no_cached_rdds(self, spark, docs):
+        """The caching contract (VERDICT r4 #3): after materializing the
+        pairs and calling release_intermediates, no persisted RDD from
+        the dedup call may linger in executor storage — a pipeline
+        looping dedup over many slices must not accumulate cache."""
+        from sphinxsearchengine_spark.ops.dedup import release_intermediates
+
+        spark.catalog.clearCache()
+        jsc = spark.sparkContext._jsc.sc()
+        for fn, kw in [
+            (ngram_jaccard_pairs, {"threshold": 0.5}),
+            (minhash_lsh_pairs, {"threshold": 0.5}),
+            (simhash_pairs, {"max_hamming": 3, "n_docs": 6}),
+        ]:
+            out = fn(docs, "id", "text", **kw)
+            out.collect()
+            assert len(jsc.getRDDStorageInfo()) > 0  # cache was in use
+            release_intermediates(out)
+            assert len(jsc.getRDDStorageInfo()) == 0, fn.__name__
+
     def test_simhash_auto_with_n_docs_skips_count_job(self, spark, docs):
         """auto mode with a caller-provided n_docs must trigger ZERO jobs
         at plan time (the r3 version ran df.count() per call)."""
@@ -242,6 +262,33 @@ class TestSimilarity:
         plan = per._jdf.queryExecution().executedPlan().toString()
         pushed = plan.split("PushedFilters", 1)[1][:400]
         assert "lsh_bucket" in pushed and "In(" in pushed
+
+    def test_pairs_probe_hamming_radius2_beats_radius1(self, spark):
+        """probe_hamming=2 must actually probe 2-bit flips (ADVICE r4:
+        the old code silently treated any radius as 1).  Buckets are
+        assigned directly so the geometry is exact: identical vectors
+        (cosine 1.0) whose buckets differ by 3 bits can only meet when
+        each side probes out to radius 2 (1+1 < 3 <= 2+2)."""
+        from sphinxsearchengine_spark.ops.similarity import (
+            embedding_cosine_pairs,
+        )
+
+        v = [1.0, 0.0, 0.0, 0.0]
+        rows = [(1, v, 0b0000), (2, v, 0b0111), (3, v, 0b0000)]
+        df = spark.createDataFrame(
+            rows, "id long, vec array<float>, bkt int"
+        )
+        r1 = {(r.id_a, r.id_b) for r in embedding_cosine_pairs(
+            df, "id", "vec", 0.99, bucket_col="bkt", n_planes=4,
+            probe_hamming=1).collect()}
+        r2 = {(r.id_a, r.id_b) for r in embedding_cosine_pairs(
+            df, "id", "vec", 0.99, bucket_col="bkt", n_planes=4,
+            probe_hamming=2).collect()}
+        assert (1, 3) in r1 and (1, 2) not in r1  # 3 bits apart: missed at r=1
+        assert r2 == {(1, 2), (1, 3), (2, 3)}     # found at r=2
+        with pytest.raises(ValueError):
+            embedding_cosine_pairs(df, "id", "vec", 0.99, bucket_col="bkt",
+                                   n_planes=4, probe_hamming=5)
 
 
 class TestTextStats:
@@ -417,6 +464,32 @@ class TestIVF:
                             exclude_id=qid).collect()}
             recalls.append(len(got & exact) / 10.0)
         assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+    def test_ivf_kmeans_tablesample_variant(self, spark):
+        """sample_fraction switches training to a seeded Bernoulli
+        sample (for non-uniform id spaces); centroids must still be
+        unit-norm, deterministic across calls, and serve the same
+        ivf_topk path."""
+        from sphinxsearchengine_spark.ops.similarity import (
+            ivf_centroids_kmeans, ivf_topk, with_ivf_cells,
+        )
+
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(300, 8).astype("float32")
+        df = spark.createDataFrame(
+            [(i, v.tolist()) for i, v in enumerate(vecs)],
+            "id long, vec array<float>",
+        )
+        c1 = ivf_centroids_kmeans(df, "id", "vec", k=4, iters=5,
+                                  sample_rows=200, sample_fraction=0.7)
+        c2 = ivf_centroids_kmeans(df, "id", "vec", k=4, iters=5,
+                                  sample_rows=200, sample_fraction=0.7)
+        assert np.allclose(c1, c2)
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+        celled = with_ivf_cells(df, "vec", c1)
+        got = ivf_topk(celled, "id", "vec", vecs[5].tolist(), c1, k=5,
+                       nprobe=4, exclude_id=5).collect()
+        assert len(got) == 5
 
     def test_embedding_cosine_pairs_exact_vs_numpy(self, spark):
         """Exact mode must equal the numpy all-pairs oracle."""

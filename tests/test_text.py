@@ -155,6 +155,30 @@ class TestMangleAndSanitize:
         assert not is_blank_query("ok")
         assert not is_blank_query("привет")
 
+    def test_mangle_col_parity(self, spark):
+        """The native-column mangle twin used by the bulk build
+        (corpus.derive_documents) must agree with the Python function on
+        Latin/Cyrillic/digit/punct/whitespace inputs (NFC)."""
+        from pyspark.sql import functions as F
+
+        from sphinxsearchengine_spark.text.tokenizer import (
+            mangle_category,
+            mangle_category_col,
+        )
+
+        cases = [
+            "My Category", "", "  ", "C++ (lang)", "a/b", "python",
+            "org3/repo17", "Русский Язык", "ПОИСК-2024", "x", "_",
+            "a  b\tc", " edge ", "MiXeD_КиРиЛл", "123", "!!!", "a|b&c",
+        ]
+        df = spark.createDataFrame([(c,) for c in cases], "cat string")
+        got = [
+            r.m for r in df.select(
+                mangle_category_col(F.col("cat")).alias("m")
+            ).collect()
+        ]
+        assert got == [mangle_category(c) for c in cases]
+
 
 class TestShortPrefixParse:
     """A prefix stub shorter than min_word_len must still parse: the
@@ -179,3 +203,17 @@ class TestShortPrefixParse:
         kinds = [(g.alts[0].kind, g.alts[0].words) for g in q.groups]
         assert ("kw", ("foo",)) in kinds
         assert ("prefix", ("b",)) in kinds
+
+    def test_conflicting_markers_exact_wins(self):
+        """'=word*' carries both markers; '=' (the stronger, more
+        specific request) wins — the pre-round-4 precedence, restored
+        per ADVICE r4."""
+        from sphinxsearchengine_spark.query.parser import parse_query
+
+        q = parse_query("=word*")
+        assert len(q.groups) == 1
+        assert q.groups[0].alts[0].kind == "exact"
+        assert q.groups[0].alts[0].words == ("word",)
+        # plain markers still parse as themselves
+        assert parse_query("=word").groups[0].alts[0].kind == "exact"
+        assert parse_query("word*").groups[0].alts[0].kind == "prefix"
