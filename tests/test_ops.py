@@ -332,6 +332,44 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             extract_features(media, decode_stub=False)
 
+    def test_header_decode_png_wav_jpeg(self):
+        """Pure-struct header parsers against spec-valid container bytes
+        (the PNG has correct CRCs + decompressible IDAT; the WAV is a
+        complete PCM file)."""
+        import zlib
+
+        from sphinxsearchengine_spark.ops.multimodal import (
+            decode_header, make_jpeg, make_png, make_wav,
+        )
+
+        png = make_png(320, 200)
+        # sanity: the fixture really is a decodable PNG container —
+        # IDAT data sits at [41, len-16) (sig 8 + IHDR 25 + IDAT len/tag
+        # 8; trailing IDAT crc 4 + IEND 12) and must inflate to
+        # height*(1 filter byte + 3*width) bytes of scanlines
+        assert len(zlib.decompress(png[41:-16])) == 200 * (1 + 3 * 320)
+        assert decode_header(png) == ("png", 320, 200, 3, None)
+        assert decode_header(make_wav(44100, 2, 100)) == (
+            "wav", None, None, 2, 44100)
+        assert decode_header(make_jpeg(1024, 768, 3)) == (
+            "jpeg", 1024, 768, 3, None)
+        assert decode_header(b"\x00garbage") == (None,) * 5
+
+    def test_header_decode_distributed(self, spark):
+        from sphinxsearchengine_spark.ops.multimodal import (
+            decode_media_headers, make_png, make_wav,
+        )
+
+        rows = [(i, make_png(10 + i, 20 + i)) for i in range(5)] + [
+            (100 + i, make_wav(8000 * (i + 1), 1, 10)) for i in range(3)
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = {r.media_id: r for r in
+               decode_media_headers(df.repartition(3)).collect()}
+        assert got[2].fmt == "png" and (got[2].width, got[2].height) == (12, 22)
+        assert got[101].fmt == "wav" and got[101].sample_rate == 16000
+        assert len(got) == 8
+
 
 class TestDuckDBHashParity:
     """Tripwires for the SQL-oracle contract: the dedup token hash and
