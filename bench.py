@@ -137,6 +137,14 @@ def main() -> int:
     extra["index_docs_per_sec"] = round(n_docs / dt, 1)
     extra["index_n_docs"] = n_docs
     extra["index_build_runs"] = [round(t, 3) for t in build_times]
+    # measured shuffle volume of the (bucket, salt) postings exchange
+    # (recorded by the builder in the segment manifest; VERDICT r4 #1)
+    with open(os.path.join(idx, "manifests", "seg_00000.json")) as fh:
+        _post = json.load(fh)["stages"]["postings"]
+    extra["postings_shuffle_bytes_per_doc"] = _post["shuffle_bytes_per_doc"]
+    extra["postings_shuffle_write_bytes"] = _post["shuffle_write_bytes"]
+    extra["postings_shuffle_records"] = _post["shuffle_write_records"]
+    extra["postings_exchange_packed"] = _post.get("packed", False)
 
     # --- 2. engine query latencies (Searcher = dict pinned in driver RAM,
     # docs hydration frame cached — the searchd-RAM-wordlist analog) -------

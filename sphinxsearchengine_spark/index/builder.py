@@ -293,6 +293,34 @@ def _field_postings(texts, docids, langs, dis, dms, fid):
     }
 
 
+def _batch_postings_columns(pdf):
+    """One Arrow batch of documents -> flat postings columns dict
+    (numpy arrays + pos_vb byte list) — shared by the row-per-posting
+    and packed tokenizer emitters."""
+    import numpy as np
+
+    docids = pdf["docid"].to_numpy(dtype=np.int64)
+    langs = pdf["lang"].to_numpy(dtype=object)
+    dis = pdf["date_insert"].to_numpy(dtype=np.int64)
+    dms = pdf["date_modify"].to_numpy(dtype=np.int64)
+    cols = {k: [] for k in (
+        "term", "field", "docid", "tf", "exact_tf", "pos_vb", "lang",
+        "date_insert", "date_modify",
+    )}
+    for fname in FIELD_NAMES:
+        texts = pdf[_FIELD_SOURCE[fname]].tolist()
+        part = _field_postings(texts, docids, langs, dis, dms, FIELDS[fname])
+        for kcol in cols:
+            cols[kcol].append(part[kcol])
+    out = {}
+    for kcol, chunks in cols.items():
+        if kcol == "pos_vb":
+            out[kcol] = [b for chunk in chunks for b in chunk]
+        else:
+            out[kcol] = np.concatenate(chunks)
+    return out
+
+
 def _tokenize_batch(pdf_iter):
     """Arrow-batch tokenizer: documents -> postings rows (vectorized).
 
@@ -302,28 +330,8 @@ def _tokenize_batch(pdf_iter):
     the per-occurrence pipeline is numpy throughout, per BASELINE.json
     input_hint ("no per-row Python").
     """
-    import numpy as np
-
     for pdf in pdf_iter:
-        docids = pdf["docid"].to_numpy(dtype=np.int64)
-        langs = pdf["lang"].to_numpy(dtype=object)
-        dis = pdf["date_insert"].to_numpy(dtype=np.int64)
-        dms = pdf["date_modify"].to_numpy(dtype=np.int64)
-        cols = {k: [] for k in (
-            "term", "field", "docid", "tf", "exact_tf", "pos_vb", "lang",
-            "date_insert", "date_modify",
-        )}
-        for fname in FIELD_NAMES:
-            texts = pdf[_FIELD_SOURCE[fname]].tolist()
-            part = _field_postings(texts, docids, langs, dis, dms, FIELDS[fname])
-            for kcol in cols:
-                cols[kcol].append(part[kcol])
-        out = {}
-        for kcol, chunks in cols.items():
-            if kcol == "pos_vb":
-                out[kcol] = [b for chunk in chunks for b in chunk]
-            else:
-                out[kcol] = np.concatenate(chunks)
+        out = _batch_postings_columns(pdf)
         yield pd.DataFrame(
             {
                 "term": out["term"],
@@ -663,6 +671,7 @@ def build_segment(
     salt_factor: int = 4,
     preprocess=None,
     block_shift: int | None = None,
+    packed: bool = True,
 ) -> dict:
     """Tokenize + write one immutable segment; resumable per stage.
 
@@ -671,7 +680,15 @@ def build_segment(
     the reference's ``SearchUpdate`` extension hook that lets plugins
     rewrite indexed text (SphinxSearchEngine_class.php:426,
     SphinxSearchUpdate.php:58), kept declarative so Catalyst still
-    pipelines it into the scan."""
+    pipelines it into the scan.
+
+    ``packed``: ship the (bucket, salt) exchange as per-(term, salt)
+    group blobs + a per-doc attr sideband instead of one row per
+    posting (index/packed.py — measured 2.42× fewer compressed shuffle
+    bytes/doc and 9.5× fewer rows at 20k docs/local[8], same warm build
+    time); False falls back to the round-4 row-per-posting path.  Both
+    produce identical postings/blockmax/dict output
+    (tests/test_packed.py)."""
     layout = IndexLayout(index_dir)
     man_path = layout.manifest(seg)
     manifest = _manifest_load(man_path)
@@ -750,6 +767,9 @@ def build_segment(
         # rollup that the blockmax aggregation consumes — the postings
         # bytes are never re-read (round 2 paid a second full scan).
         from sphinxsearchengine_spark import fs
+        from sphinxsearchengine_spark import metrics as _metrics
+
+        _pre_stage = _metrics.latest_stage_id(spark)
 
         fs.delete(layout.postings(seg))  # clean slate for side-output files
         with _split_hint(spark, layout.docs(seg), parallelism * 2):
@@ -764,30 +784,67 @@ def build_segment(
                 tok_src = tok_src.withColumn(
                     "content", preprocess(F.col("content"))
                 )
-            tok = tok_src.mapInPandas(_tokenize_batch, schema=POSTINGS_SCHEMA)
-            tok = tok.withColumn(
-                "bucket", F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int")
-            ).withColumn(
-                "salt", F.pmod(F.xxhash64("docid"), F.lit(salt_factor)).cast("int")
-            )
-            # sort JVM-side (Tungsten radix/UTF8 sort, spillable), then
-            # a zero-pandas Arrow task writes each bucket's slice and
-            # emits the rollup — measured at local[8]/200k docs the
-            # pandas writer's object-string mergesort + to/from-pandas
-            # conversions cost ~35% of the whole postings stage
-            per_doc = (
-                tok.repartition(nb * salt_factor, "bucket", "salt")
-                .drop("salt")
-                .sortWithinPartitions("bucket", "term", "field", "docid")
-                .mapInArrow(
-                    _postings_writer_and_rollup_arrow(
-                        layout.postings(seg), block_shift
-                    ),
-                    schema=ROLLUP_SCHEMA,
+            if packed:
+                # packed exchange (index/packed.py): one row per
+                # (term, salt) group + per-doc attr sideband; the writer
+                # decodes, sorts and re-attaches attrs itself, so no JVM
+                # sort is needed (far fewer, fatter rows)
+                from sphinxsearchengine_spark.index import packed as _packed
+
+                tok = tok_src.mapInPandas(
+                    _packed.packed_tokenize(nb, salt_factor),
+                    schema=_packed.PACKED_SCHEMA,
                 )
-            )
+                per_doc = (
+                    tok.repartition(nb * salt_factor, "bucket", "salt")
+                    .mapInArrow(
+                        _packed.packed_writer_and_rollup(
+                            layout.postings(seg), block_shift
+                        ),
+                        schema=ROLLUP_SCHEMA,
+                    )
+                )
+            else:
+                tok = tok_src.mapInPandas(
+                    _tokenize_batch, schema=POSTINGS_SCHEMA
+                )
+                tok = tok.withColumn(
+                    "bucket", F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int")
+                ).withColumn(
+                    "salt",
+                    F.pmod(F.xxhash64("docid"), F.lit(salt_factor)).cast("int"),
+                )
+                # sort JVM-side (Tungsten radix/UTF8 sort, spillable),
+                # then a zero-pandas Arrow task writes each bucket's
+                # slice and emits the rollup — measured at local[8]/200k
+                # docs the pandas writer's object-string mergesort +
+                # to/from-pandas conversions cost ~35% of the whole
+                # postings stage
+                per_doc = (
+                    tok.repartition(nb * salt_factor, "bucket", "salt")
+                    .drop("salt")
+                    .sortWithinPartitions("bucket", "term", "field", "docid")
+                    .mapInArrow(
+                        _postings_writer_and_rollup_arrow(
+                            layout.postings(seg), block_shift
+                        ),
+                        schema=ROLLUP_SCHEMA,
+                    )
+                )
             _agg_blockmax(per_doc)
-        mark("postings", path=layout.postings(seg), salt_factor=salt_factor)
+        # measured shuffle volume of this step (the (bucket, salt)
+        # exchange is the dominant stage by write bytes; blockmax's tiny
+        # rollup exchange is included in the total) — recorded per
+        # segment so BENCH can report bytes-shuffled/doc
+        shuf = _metrics.shuffle_summary(
+            _metrics.stage_metrics(spark, _pre_stage)
+        )
+        n_docs_seg = stages["docs"]["n_docs"]
+        shuf["shuffle_bytes_per_doc"] = round(
+            shuf["shuffle_write_bytes"] / max(n_docs_seg, 1), 2
+        )
+        mark("postings", path=layout.postings(seg), salt_factor=salt_factor,
+             packed=packed, **shuf)
         mark("blockmax", path=layout.blockmax(seg), block_shift=block_shift)
 
     if not done("blockmax"):
@@ -837,6 +894,7 @@ def build_index(
     cfg: EngineConfig | None = None,
     salt_factor: int = 4,
     preprocess=None,
+    packed: bool = True,
 ) -> IndexMeta:
     """Full bulk build: one base segment + fresh meta (reference S1/S2,
     auto-bootstrap analog of init_index, SphinxSearchEngine_class.php:484-535).
@@ -848,7 +906,8 @@ def build_index(
     layout = IndexLayout(index_dir)
     seg = "seg_00000"
     stages = build_segment(
-        spark, documents, index_dir, seg, cfg, salt_factor, preprocess
+        spark, documents, index_dir, seg, cfg, salt_factor, preprocess,
+        packed=packed,
     )
     meta = IndexMeta(
         n_docs=stages["docs"]["n_docs"],
