@@ -408,6 +408,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
+    def dedup_groups(spark, sf):
+        # pair output -> connected components (alternating large-star /
+        # small-star) -> (doc_id, group_id=component min).  Transitive
+        # closure: A~B, B~C collapse even when A~C was never a pair.
+        from sphinxsearchengine_spark.ops.dedup import (
+            duplicate_groups,
+            ngram_jaccard_pairs,
+        )
+
+        d = _t(spark, sf, "documents")
+        pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5)
+        return duplicate_groups(pairs).select(
+            F.col("id").alias("doc_id"), "group_id"
+        )
+    q["dedup_groups"] = dedup_groups
+
     def dedup_minhash_lsh(spark, sf):
         # value-checked: the token hash is md5_number_lower (DuckDB
         # parity), so the whole signature+banding pipeline has an exact
@@ -1042,6 +1058,48 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    """
+    # transitive closure over the ngram-jaccard pair graph: min
+    # reachable doc_id per node via a recursive CTE (the engine side is
+    # alternating large-star/small-star — same fixpoint).
+    sql["dedup_groups"] = """
+        WITH RECURSIVE raw AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term,
+                 generate_subscripts(string_split_regex(lower(text), '[^a-z0-9]+'), 1) AS pos
+          FROM documents
+        ),
+        tokpos AS (SELECT doc_id, term, pos FROM raw WHERE term <> ''),
+        sh AS (
+          SELECT DISTINCT a.doc_id,
+                 a.term || ' ' || b.term || ' ' || c.term AS shingle
+          FROM tokpos a
+          JOIN tokpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          JOIN tokpos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS c
+          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM common
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+        ),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION
+          SELECT id_b AS u, id_a AS v FROM pairs
+        ),
+        walk(u, lbl) AS (
+          SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+          UNION
+          SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.u
+        )
+        SELECT u AS doc_id, min(lbl) AS group_id FROM walk GROUP BY u
     """
     # MinHash / SimHash oracles: the impl's token hash is the low 64
     # bits of md5, little-endian == DuckDB md5_number_lower (see

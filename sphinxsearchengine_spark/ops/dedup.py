@@ -417,6 +417,127 @@ def minhash_lsh_pairs(
     )
 
 
+def duplicate_groups(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    all_ids: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate GROUPS: (id, group_id)
+    where group_id is the minimum id reachable through the pair graph
+    (the canonical keeper of the connected component).
+
+    This is the step a training-data pipeline runs after any of the
+    pair operators above — transitive closure, so that A~B and B~C
+    collapse into one group even when A~C was never emitted as a pair.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    published shared-nothing CC algorithm.  Each round is pure
+    groupBy+join on the edge set (no driver-side graph state, no
+    per-component collect), and the edge count only shrinks, so it
+    scales to billions of edges; convergence is O(log^2 n) rounds and
+    near-dup graphs (small cliques/chains) typically finish in 2-3.
+    Each round eagerly ``localCheckpoint``s the edge set to truncate
+    the otherwise exponentially stacking join lineage; on a real
+    cluster with executor churn, set a durable
+    ``spark.sparkContext.setCheckpointDir`` and swap in ``checkpoint``.
+
+    ``all_ids`` (optional, single-column DataFrame) adds singleton docs
+    that appear in no pair as their own group.  Convergence is detected
+    by an order-insensitive edge-set signature (count + sum of
+    xxhash64) — one tiny agg action per round on a checkpointed frame.
+    """
+    e = (
+        pairs.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _signature(edges):
+        row = edges.agg(
+            F.count(F.lit(1)).alias("c"),
+            # decimal sum: long would overflow under ANSI mode
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["c"], row["h"])
+
+    def _large_star(edges):
+        nbrs = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = (
+            nbrs.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("src", "mn").alias("m"))
+        )
+        return (
+            nbrs.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _small_star(edges):
+        o = edges.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        mins = o.groupBy("src").agg(F.min("dst").alias("m"))
+        to_min = o.join(mins, "src").select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        )
+        self_to_min = mins.select("src", F.col("m").alias("dst"))
+        return (
+            to_min.union(self_to_min)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    prev = _signature(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig = _signature(e)
+        if sig == prev:
+            break
+        prev = sig
+
+    # converged: e is a forest of stars (member -> component min)
+    nodes = (
+        pairs.select(F.col(src_col).cast("long").alias("id"))
+        .union(pairs.select(F.col(dst_col).cast("long").alias("id")))
+        .distinct()
+    )
+    if all_ids is not None:
+        nodes = nodes.union(
+            all_ids.select(F.col(all_ids.columns[0]).cast("long").alias("id"))
+        ).distinct()
+    stars = e.select(F.col("src").alias("id"), F.col("dst").alias("g"))
+    return nodes.join(stars, "id", "left").select(
+        "id", F.coalesce("g", F.col("id")).alias("group_id")
+    )
+
+
+def keep_canonical(
+    df: DataFrame, id_col: str, groups: DataFrame
+) -> DataFrame:
+    """Filter a corpus down to one representative per duplicate group:
+    keeps rows whose id is its group's keeper (group_id == id) or that
+    belong to no group.  ``groups`` is the (id, group_id) output of
+    :func:`duplicate_groups`; docs absent from it pass through, so
+    ``all_ids`` need not have been supplied."""
+    losers = groups.filter(F.col("group_id") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash: long) 64-bit SimHash over unigram token hashes.
 

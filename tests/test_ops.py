@@ -583,3 +583,77 @@ class TestIVF:
         assert len(exact) > 0
         assert len(blocked & exact) / len(exact) >= 0.9, (
             len(blocked), len(exact))
+
+
+class TestDuplicateGroups:
+    """Connected-component resolution of pair output (large-star /
+    small-star) — transitive closure semantics the pair ops don't give."""
+
+    def _pairs(self, spark, edges):
+        return spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
+        )
+
+    def test_transitive_chain(self, spark):
+        from sphinxsearchengine_spark.ops.dedup import duplicate_groups
+
+        # 1-2-3-4 is one component even though (1,4) was never a pair
+        got = {
+            (r.id, r.group_id)
+            for r in duplicate_groups(
+                self._pairs(spark, [(2, 1), (2, 3), (3, 4), (9, 10)])
+            ).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (9, 9), (10, 9)}
+
+    def test_matches_union_find_on_random_graph(self, spark):
+        from sphinxsearchengine_spark.ops.dedup import duplicate_groups
+
+        rng = np.random.RandomState(7)
+        edges = {tuple(sorted(p)) for p in rng.randint(0, 60, (80, 2)) if p[0] != p[1]}
+        # reference: plain union-find
+        parent = list(range(61))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        want = {}
+        for a, b in edges:
+            for n in (a, b):
+                want[n] = None
+        for n in want:
+            root = find(n)
+            want[n] = min(m for m in want if find(m) == root)
+        got = {
+            r.id: r.group_id
+            for r in duplicate_groups(self._pairs(spark, sorted(edges))).collect()
+        }
+        assert got == want
+
+    def test_singletons_and_keep_canonical(self, spark, docs):
+        from sphinxsearchengine_spark.ops.dedup import (
+            duplicate_groups,
+            keep_canonical,
+        )
+
+        pairs = self._pairs(spark, [(1, 2), (2, 3)])
+        groups = duplicate_groups(
+            pairs, all_ids=docs.select("id")
+        )
+        got = {r.id: r.group_id for r in groups.collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6}
+        kept = sorted(
+            r.id for r in keep_canonical(docs, "id", groups).collect()
+        )
+        assert kept == [1, 4, 5, 6]
+
+    def test_empty_pairs(self, spark):
+        from sphinxsearchengine_spark.ops.dedup import duplicate_groups
+
+        empty = spark.createDataFrame([], "id_a long, id_b long")
+        assert duplicate_groups(empty).count() == 0
