@@ -162,6 +162,26 @@ def _cells_from_log() -> dict:
 N4N_PAIRS = [(1, 4), (2, 8), (8, 32)]
 
 
+def _pairwise_from_log(n_docs: int) -> dict[str, list[float]]:
+    """Efficiency per INTERLEAVED pair: campaign runs alternate N and 4N
+    back-to-back in fresh JVMs, so consecutive (N, 4N) log entries share
+    the same co-tenant weather and their ratio cancels slow load drift —
+    a third estimator alongside median- and min-based."""
+    with open(RUNS_LOG) as f:
+        runs = [json.loads(line) for line in f]
+    runs = [r for r in runs if r["n_docs"] == n_docs]
+    out: dict[str, list[float]] = {}
+    for a, b in N4N_PAIRS:
+        effs = [
+            round(runs[i]["build_s"] / runs[i + 1]["build_s"] / 4.0, 3)
+            for i in range(len(runs) - 1)
+            if runs[i]["cores"] == a and runs[i + 1]["cores"] == b
+        ]
+        if effs:
+            out[f"{a}_to_{b}"] = effs
+    return out
+
+
 def report_from_log(sizes: list[int]) -> list[dict]:
     cells = _cells_from_log()
     reports = []
@@ -186,6 +206,13 @@ def report_from_log(sizes: list[int]) -> list[dict]:
                     # least-contaminated estimates of the job's own cost
                     "efficiency_min": round(spm / 4.0, 3),
                 }
+        pw = _pairwise_from_log(n)
+        for key, effs in pw.items():
+            if key in rep["pairs"]:
+                rep["pairs"][key]["pairwise_effs"] = effs
+                rep["pairs"][key]["pairwise_median"] = round(
+                    statistics.median(effs), 3
+                )
         reports.append(rep)
     return reports
 
@@ -247,8 +274,14 @@ def _size_md(rep: dict) -> str:
         line = (
             f"**N → 4N (local[{a}] → local[{b}]): {v['speedup']}× speedup, "
             f"scaling efficiency {v['efficiency']} (median-based; "
-            f"best-run-based {v.get('efficiency_min', v['efficiency'])})"
+            f"best-run-based {v.get('efficiency_min', v['efficiency'])}"
         )
+        if "pairwise_median" in v:
+            line += (
+                f"; interleaved-pair median {v['pairwise_median']} over "
+                f"pairs {v['pairwise_effs']}"
+            )
+        line += ")"
         if a in ceil and b in ceil:
             mc = ceil[b] / ceil[a]
             line += (
@@ -356,7 +389,10 @@ def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "report":
         reports = report_from_log(sizes)
         print(json.dumps(reports, indent=2))
-        write_md(reports)
+        # BENCH/BASELINE.md carries hand-maintained analysis sections on
+        # top of the generated tables — overwrite only on explicit ask
+        if len(sys.argv) > 2 and sys.argv[2] == "write":
+            write_md(reports)
         return 0
     # default: the full campaign at the standard matrix (long!)
     rep = int(os.environ.get("SSE_SCALE_REPEATS", "5"))
