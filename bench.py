@@ -166,12 +166,16 @@ def main() -> int:
             t0 = time.time()
             searcher.search(q, limit=20, now_ts=PINNED_NOW).collect()
             runs.append(time.time() - t0)
-        runs.sort()
-        queries[name] = round(runs[0], 3)
+        # the CELL stays min of the first 3 repeats — the exact r4
+        # estimator (best-of-3), so round-over-round cells compare
+        # like-for-like; min-of-20 would be systematically lower.
+        queries[name] = round(min(runs[:3]), 3)
+        srt = sorted(runs)
         extra["search_latency"][name] = {
-            "p50": round(runs[len(runs) // 2], 3),
-            "p99": round(runs[min(len(runs) - 1, int(len(runs) * 0.99))], 3),
-            "n": len(runs),
+            "p50": round(srt[len(srt) // 2], 3),
+            "p99": round(srt[min(len(srt) - 1, int(len(srt) * 0.99))], 3),
+            "min": round(srt[0], 3),
+            "n": len(srt),
         }
 
     # --- 3. driver-table operators (best of 3; cache cleared between

@@ -177,7 +177,11 @@ def _pairwise_from_log(n_docs: int) -> dict[str, list[float]]:
             for i in range(len(runs) - 1)
             if runs[i]["cores"] == a and runs[i + 1]["cores"] == b
         ]
-        if effs:
+        # a single adjacency can be a LEVEL BOUNDARY of a sequential
+        # (non-interleaved) campaign — e.g. last 8-core run followed by
+        # first 32-core run — not a designed back-to-back pair; require
+        # at least two, which only alternation produces
+        if len(effs) >= 2:
             out[f"{a}_to_{b}"] = effs
     return out
 

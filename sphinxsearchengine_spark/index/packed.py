@@ -87,26 +87,14 @@ def salt_of_docid(docid: np.ndarray, salt_factor: int) -> np.ndarray:
     )
 
 
-# Worker-lifetime cache: term -> md5-low64 hash (same definition as the
-# dedup token hash, little-endian low 8 bytes of md5 — any deterministic
-# uniform 64-bit hash works here; buckets are resolved from the stored
-# dictionary at query time, never recomputed).
-_TERM_HASH_CACHE: dict[str, int] = {}
-_TERM_HASH_CAP = 1 << 20
-
-
 def term_hashes(uniq_terms) -> np.ndarray:
-    import hashlib
+    """Term -> md5-low64 (the ONE shared implementation in hashing.py;
+    buckets are resolved from the stored dictionary at query time, never
+    recomputed, so any deterministic uniform 64-bit hash would work —
+    sharing the impl just keeps the two definitions from drifting)."""
+    from sphinxsearchengine_spark.hashing import md5_low64_many
 
-    out = np.empty(len(uniq_terms), dtype=np.uint64)
-    for i, t in enumerate(uniq_terms):
-        h = _TERM_HASH_CACHE.get(t)
-        if h is None:
-            h = int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
-            if len(_TERM_HASH_CACHE) < _TERM_HASH_CAP:
-                _TERM_HASH_CACHE[t] = h
-        out[i] = h
-    return out
+    return md5_low64_many(uniq_terms)
 
 
 def _group_bounds(*keys):

@@ -15,6 +15,22 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 
+def _drain_listener_bus(spark: SparkSession) -> None:
+    """AppStatusStore is fed by an ASYNC listener queue: a job action can
+    return before the last TaskEnd/StageCompleted events are applied, so
+    metrics read immediately after the action may be incomplete.  Drain
+    the bus first (what Spark's own test suite does); best-effort across
+    the two waitUntilEmpty signatures, silently skipped if unavailable."""
+    try:
+        bus = spark.sparkContext._jsc.sc().listenerBus()
+        try:
+            bus.waitUntilEmpty(10_000)
+        except Exception:
+            bus.waitUntilEmpty()
+    except Exception:
+        pass
+
+
 def _store(spark: SparkSession):
     return spark.sparkContext._jsc.sc().statusStore()
 
@@ -42,6 +58,7 @@ def stage_metrics(spark: SparkSession, after_stage_id: int = -1) -> list[dict]:
     Returns [{stage_id, name, shuffle_write_bytes, shuffle_write_records,
     shuffle_read_bytes, input_bytes, output_bytes}, ...] sorted by id.
     """
+    _drain_listener_bus(spark)
     stages = _stage_list(spark)
     out = []
     for i in range(stages.size()):

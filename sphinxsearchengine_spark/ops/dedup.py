@@ -240,36 +240,22 @@ def ngram_jaccard_pairs(
     )
 
 
-# Worker-lifetime cache: token string -> content-derived 64-bit hash.
 # Signatures must be comparable ACROSS batches/executors, so hashes are
-# derived from token bytes, never from batch-local ids; the Python loop
-# is bounded by unique tokens per worker.
-#
-# The hash is the low 64 bits of md5, little-endian — bit-identical to
-# DuckDB's md5_number_lower(token), so every signature derived from it
-# (minhash, simhash, shingle mixes) is reproducible in ANSI-ish SQL and
-# the driver's DuckDB oracle can value-check the dedup operators
-# end-to-end (was blake2b before round 3; same cost, same dispersion).
-_TOKEN_HASH_CACHE: dict[str, int] = {}
-_TOKEN_HASH_CAP = 1 << 20
+# derived from token bytes, never from batch-local ids.  The hash is
+# md5-low64 (see hashing.py — bit-identical to DuckDB's
+# md5_number_lower, so every signature derived from it is reproducible
+# in the driver's SQL oracle; was blake2b before round 3).
 
 
 def _token_hashes(all_tokens: list[str]):
     """(hash_per_occurrence uint64, doc boundaries untouched).  Hashes
-    unique tokens once (cached), then gathers per occurrence via
+    unique tokens once (cached, hashing.md5_low64_many — the ONE
+    md5-low64 implementation), then gathers per occurrence via
     pd.factorize — no per-occurrence Python."""
-    import hashlib
+    from sphinxsearchengine_spark.hashing import md5_low64_many
 
     codes, uniques = pd.factorize(np.asarray(all_tokens, dtype=object), sort=False)
-    uh = np.empty(len(uniques), dtype=np.uint64)
-    for i, t in enumerate(uniques):
-        h = _TOKEN_HASH_CACHE.get(t)
-        if h is None:
-            h = int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
-            if len(_TOKEN_HASH_CACHE) < _TOKEN_HASH_CAP:
-                _TOKEN_HASH_CACHE[t] = h
-        uh[i] = h
-    return uh[codes]
+    return md5_low64_many(uniques)[codes]
 
 
 _SPLIT_RE = None
@@ -449,7 +435,7 @@ def duplicate_groups(
     by an order-insensitive edge-set signature (count + sum of
     xxhash64) — one tiny agg action per round on a checkpointed frame.
     """
-    e = (
+    e0 = e = (
         pairs.select(
             F.col(src_col).cast("long").alias("src"),
             F.col(dst_col).cast("long").alias("dst"),
@@ -508,10 +494,13 @@ def duplicate_groups(
             break
         prev = sig
 
-    # converged: e is a forest of stars (member -> component min)
+    # converged: e is a forest of stars (member -> component min).
+    # Node list comes from the CHECKPOINTED initial edge set, not from
+    # `pairs` — re-deriving from pairs would re-execute the (expensive)
+    # upstream pair plan a second time.
     nodes = (
-        pairs.select(F.col(src_col).cast("long").alias("id"))
-        .union(pairs.select(F.col(dst_col).cast("long").alias("id")))
+        e0.select(F.col("src").alias("id"))
+        .union(e0.select(F.col("dst").alias("id")))
         .distinct()
     )
     if all_ids is not None:

@@ -136,28 +136,44 @@ _JPEG_SOF = {0xC0, 0xC1, 0xC2}  # baseline / ext. sequential / progressive
 
 def decode_header(payload: bytes):
     """(fmt, width, height, channels, sample_rate) from container
-    headers; (None,)*5 when no known magic matches.  PNG per the IHDR
+    headers; (None,)*5 when no known magic matches, (fmt, None, ...)
+    when the magic matches but the header is truncated/corrupt — a
+    malformed blob must NEVER raise, since one bad row inside the
+    mapInPandas batch would fail the whole task.  PNG per the IHDR
     layout (RFC 2083 §4.1.1), JPEG via marker-segment scan to SOF0/1/2
-    (ITU T.81 §B.2.2), WAV via RIFF chunk walk to 'fmt ' (RIFF/WAVE
-    spec)."""
+    (ITU T.81 §B.2.2, incl. 0xFF fill bytes and length-less TEM/RSTn
+    markers), WAV via RIFF chunk walk to 'fmt ' (RIFF/WAVE spec)."""
+    n = len(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+        if n < 26:
+            return ("png", None, None, None, None)
         w, h = struct.unpack(">II", payload[16:24])
         color_type = payload[25]
         return ("png", w, h, _PNG_CHANNELS.get(color_type), None)
     if payload[:2] == b"\xff\xd8":
         i = 2
-        n = len(payload)
-        while i + 4 <= n:
+        while i < n:
             if payload[i] != 0xFF:
                 break
-            marker = payload[i + 1]
+            while i < n and payload[i] == 0xFF:  # spec-legal fill bytes
+                i += 1
+            if i >= n:
+                break
+            marker = payload[i]
+            i += 1
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                continue  # TEM / RSTn / SOI: no length segment
             if marker == 0xD9 or marker == 0xDA:  # EOI / start of scan
                 break
-            seglen = struct.unpack(">H", payload[i + 2:i + 4])[0]
-            if marker in _JPEG_SOF and i + 4 + seglen - 2 <= n:
-                h, w = struct.unpack(">HH", payload[i + 5:i + 9])
-                return ("jpeg", w, h, payload[i + 9], None)
-            i += 2 + seglen
+            if i + 2 > n:
+                break
+            seglen = struct.unpack(">H", payload[i:i + 2])[0]
+            if seglen < 2:
+                break  # corrupt length
+            if marker in _JPEG_SOF and i + 8 <= n and seglen >= 8:
+                h, w = struct.unpack(">HH", payload[i + 3:i + 7])
+                return ("jpeg", w, h, payload[i + 7], None)
+            i += seglen
         return ("jpeg", None, None, None, None)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         i = 12

@@ -132,7 +132,9 @@ def mangle_category_col(col):
     from pyspark.sql import functions as F
 
     folded = F.translate(col, _FOLD_SRC, _FOLD_DST)
-    trimmed = F.regexp_replace(folded, r"^\s+|\s+$", "")
+    # (?U): Java \s is ASCII-only by default; Python str.strip() is
+    # Unicode-aware (NBSP etc.) — UNICODE_CHARACTER_CLASS aligns them
+    trimmed = F.regexp_replace(folded, r"(?U)^\s+|\s+$", "")
     mangled = F.concat(
         F.lit("__"),
         F.regexp_replace(trimmed, "[^0-9a-zа-я_]+", "_"),

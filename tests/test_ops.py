@@ -355,6 +355,41 @@ class TestMultimodal:
             "jpeg", 1024, 768, 3, None)
         assert decode_header(b"\x00garbage") == (None,) * 5
 
+    def test_header_decode_malformed_never_raises(self):
+        """One bad blob inside a mapInPandas batch must not kill the
+        task: truncated/corrupt payloads degrade to (fmt, None, ...)."""
+        from sphinxsearchengine_spark.ops.multimodal import (
+            decode_header, make_jpeg, make_png, make_wav,
+        )
+
+        png, jpg, wav = make_png(32, 16), make_jpeg(64, 48, 3), make_wav(8000, 1, 4)
+        for payload in (png, jpg, wav):
+            for cut in range(len(payload)):
+                res = decode_header(payload[:cut])  # must not raise
+                assert len(res) == 5
+        # truncated mid-IHDR: magic recognized, fields degrade to None
+        assert decode_header(png[:20]) == ("png", None, None, None, None)
+
+    def test_jpeg_fill_bytes_and_rst_markers(self):
+        """ITU T.81 B.1.1.2 allows 0xFF fill bytes before any marker and
+        length-less TEM/RSTn markers; the SOF scan must step over both."""
+        import struct as st
+
+        from sphinxsearchengine_spark.ops.multimodal import decode_header
+
+        sof0 = b"\x08" + st.pack(">HH", 48, 64) + b"\x03" \
+            + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+        jpg = (
+            b"\xff\xd8"
+            + b"\xff\x01"                       # TEM: no length segment
+            + b"\xff\xd0"                       # RST0: no length segment
+            + b"\xff\xe0" + st.pack(">H", 4) + b"ab"   # APP0 segment
+            + b"\xff\xff\xff\xc0"               # fill bytes then SOF0
+            + st.pack(">H", len(sof0) + 2) + sof0
+            + b"\xff\xd9"
+        )
+        assert decode_header(jpg) == ("jpeg", 64, 48, 3, None)
+
     def test_header_decode_distributed(self, spark):
         from sphinxsearchengine_spark.ops.multimodal import (
             decode_media_headers, make_png, make_wav,

@@ -170,6 +170,9 @@ class TestMangleAndSanitize:
             "My Category", "", "  ", "C++ (lang)", "a/b", "python",
             "org3/repo17", "Русский Язык", "ПОИСК-2024", "x", "_",
             "a  b\tc", " edge ", "MiXeD_КиРиЛл", "123", "!!!", "a|b&c",
+            # Unicode whitespace: Python str.strip() is Unicode-aware,
+            # so the native trim must be too ((?U) flag — round-5 review)
+            "My Category ", " ", " pad ",
         ]
         df = spark.createDataFrame([(c,) for c in cases], "cat string")
         got = [
