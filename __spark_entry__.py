@@ -424,6 +424,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dedup_groups"] = dedup_groups
 
+    def sample_stratified(spark, sf):
+        # deterministic per-language quota sampling (training-mix op):
+        # pure JVM hash predicate, zero shuffle before the count agg
+        from sphinxsearchengine_spark.ops.sampling import stratified_sample
+
+        d = _t(spark, sf, "documents")
+        return stratified_sample(
+            d, "doc_id", "lang",
+            {"en": 0.35, "de": 1.0, "zh": 0.05},
+        ).select("doc_id", "lang")
+    q["sample_stratified"] = sample_stratified
+
+    def sample_split(spark, sf):
+        # stable content-hash train/test split (eval-contamination guard)
+        from sphinxsearchengine_spark.ops.sampling import train_test_split
+
+        d = _t(spark, sf, "documents")
+        return train_test_split(d, "doc_id", 0.25).select("doc_id", "split")
+    q["sample_split"] = sample_split
+
     def dedup_minhash_lsh(spark, sf):
         # value-checked: the token hash is md5_number_lower (DuckDB
         # parity), so the whole signature+banding pipeline has an exact
@@ -1058,6 +1078,30 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    """
+    # deterministic hash sampling: identical thresholds inlined from
+    # threshold_of() on both sides; md5_number_lower == the engine's
+    # md5-low64 (hash-parity pytest)
+    from sphinxsearchengine_spark.ops.sampling import (
+        oracle_hash_expr,
+        threshold_of,
+    )
+
+    _h = oracle_hash_expr("doc_id", "s42")
+    sql["sample_stratified"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {_h} < CASE lang
+            WHEN 'en' THEN {threshold_of(0.35)}::UHUGEINT
+            WHEN 'de' THEN {threshold_of(1.0)}::UHUGEINT
+            WHEN 'zh' THEN {threshold_of(0.05)}::UHUGEINT
+            ELSE 0::UHUGEINT END
+    """
+    _hs = oracle_hash_expr("doc_id", "split")
+    sql["sample_split"] = f"""
+        SELECT doc_id,
+               CASE WHEN {_hs} < {threshold_of(0.25)}::UHUGEINT
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
     """
     # transitive closure over the ngram-jaccard pair graph: min
     # reachable doc_id per node via a recursive CTE (the engine side is

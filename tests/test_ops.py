@@ -692,3 +692,75 @@ class TestDuplicateGroups:
 
         empty = spark.createDataFrame([], "id_a long, id_b long")
         assert duplicate_groups(empty).count() == 0
+
+
+class TestSampling:
+    """Deterministic hash sampling: JVM expr == Python hash == DuckDB
+    md5_number_lower, and the behavioral contracts (stability,
+    partition-independence, per-stratum rates)."""
+
+    def test_md5_low64_col_parity(self, spark):
+        import duckdb
+
+        from sphinxsearchengine_spark.hashing import md5_low64_many
+        from sphinxsearchengine_spark.ops.sampling import md5_low64_col
+
+        keys = ["", "a", "42:s42", "-7:split", "привет", "x" * 100]
+        df = spark.createDataFrame([(k,) for k in keys], "k string")
+        got = [
+            int(r.h) for r in
+            df.select(md5_low64_col(F.col("k")).alias("h")).collect()
+        ]
+        assert got == [int(x) for x in md5_low64_many(keys)]
+        duck = [
+            duckdb.sql(f"SELECT md5_number_lower('{k}')").fetchone()[0]
+            for k in keys
+        ]
+        assert got == [int(x) for x in duck]
+
+    def test_hash_sample_deterministic_and_partition_independent(self, spark):
+        from sphinxsearchengine_spark.ops.sampling import hash_sample
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id for r in hash_sample(df, "doc_id", 0.2).collect()}
+        b = {
+            r.doc_id
+            for r in hash_sample(df.repartition(7), "doc_id", 0.2).collect()
+        }
+        assert a == b and 300 < len(a) < 500  # ~400 expected
+        # monotone: a smaller fraction yields a SUBSET (same salt)
+        c = {r.doc_id for r in hash_sample(df, "doc_id", 0.05).collect()}
+        assert c <= a
+        # different salt decorrelates
+        d = {r.doc_id for r in hash_sample(df, "doc_id", 0.2, salt="x").collect()}
+        assert d != a
+
+    def test_stratified_rates(self, spark):
+        from sphinxsearchengine_spark.ops.sampling import stratified_sample
+
+        rows = [(i, "en" if i % 2 else "rust") for i in range(4000)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        got = stratified_sample(
+            df, "doc_id", "lang", {"rust": 1.0, "en": 0.1}
+        ).groupBy("lang").count().collect()
+        counts = {r.lang: r["count"] for r in got}
+        assert counts["rust"] == 2000
+        assert 120 < counts["en"] < 280  # ~200
+        # unlisted strata fall to default=0
+        df2 = spark.createDataFrame([(1, "de")], "doc_id long, lang string")
+        assert stratified_sample(
+            df2, "doc_id", "lang", {"en": 1.0}
+        ).count() == 0
+
+    def test_train_test_split_stable_under_growth(self, spark):
+        from sphinxsearchengine_spark.ops.sampling import train_test_split
+
+        small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+        big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        s = {r.doc_id: r.split
+             for r in train_test_split(small, "doc_id", 0.25).collect()}
+        b = {r.doc_id: r.split
+             for r in train_test_split(big, "doc_id", 0.25).collect()}
+        assert all(b[k] == v for k, v in s.items())  # growth keeps sides
+        n_test = sum(1 for v in b.values() if v == "test")
+        assert 180 < n_test < 320  # ~250

@@ -89,3 +89,17 @@ def test_ft_bm25_topk_scans_documents_once(spark):
     df = gate.queries()["ft_bm25_topk"](spark, "/root/testdata/sf0.001")
     plan = _plan(df)
     assert plan.count("documents.parquet") == 1, plan
+
+
+def test_hash_sample_is_narrow_and_jvm_only(spark):
+    """Deterministic sampling must stay a narrow JVM plan: no shuffle
+    (Exchange) and no Python eval — at 100 TB the sample predicate is
+    one hash per row inside whole-stage codegen, nothing else."""
+    from sphinxsearchengine_spark.ops.sampling import hash_sample
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(hash_sample(df, "doc_id", 0.2).select("doc_id"))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # '*(n)' prefixes mark whole-stage-codegen spans in the simple plan
+    assert "*(1)" in plan, plan
