@@ -27,6 +27,40 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TOKEN_SPLIT = "[^a-z0-9]+"
 
+# Fixture texts shared by a queries() entry (Spark createDataFrame) and
+# its oracle (SQL VALUES via _sql_str) — the oracle RECOMPUTES the op in
+# SQL from these literals, it does not pin outputs.  No single quotes;
+# newlines are rendered as chr(10) concatenation by _sql_str.
+_LINE_FIXTURES = [
+    "foo\nbar\nfoo\n baz \nbar\nfoo",      # dups + a trim case
+    "alpha beta\ngamma\nalpha beta\n\n",   # dup multi-word line + blanks
+    "single line only",
+    "",
+    "repeat\nrepeat\nrepeat",              # 100% duplicated
+    "x\nxx\nx\nxx\nyyyy",                  # char-frac != line-frac
+]
+_PII_FIXTURES = [
+    "contact bob@example.com or visit https://example.com/a?q=1 today",
+    "hosts 10.0.0.1 and 192.168.1.255 up; ftp://nope stays",
+    "see https://user:pw@host.com/path and carol.smith+x@sub.domain.org",
+    "no pii here, just text with 1.2 numbers and 300.40 prices",
+    "",
+    "alice@web.de bob@web.de alice@web.de 8.8.8.8",
+]
+
+
+def _sql_str(t: str) -> str:
+    """Python string -> DuckDB string literal (newlines via chr(10))."""
+    parts = ["'" + p.replace("'", "''") + "'" for p in t.split("\n")]
+    return " || chr(10) || ".join(parts)
+
+
+def _fixture_values(fixtures: list[str]) -> str:
+    """(id, text) VALUES clause for a fixture list."""
+    return ", ".join(
+        f"({i}, {_sql_str(t)})" for i, t in enumerate(fixtures)
+    )
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -490,6 +524,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fingerprint(_t(spark, sf, "documents"), "doc_id", "text",
                            hash_fn="md5")
     q["text_fingerprint"] = text_fingerprint
+
+    def text_repetition(spark, sf):
+        # Gopher-style n-gram repetition signals (token-level): pure
+        # in-row sorted-fold column expressions — zero shuffle, no
+        # Python (plan-tested in tests/test_ops.py)
+        from sphinxsearchengine_spark.ops.textstats import ngram_repetition
+
+        return ngram_repetition(
+            _t(spark, sf, "documents"), "doc_id", "text", ns=(2, 3)
+        )
+    q["text_repetition"] = text_repetition
+
+    def text_line_repetition(spark, sf):
+        # duplicate-line fractions over designed fixtures (the driver
+        # corpus is single-line, so line stats would be degenerate on
+        # it); the oracle RECOMPUTES the fractions in SQL from the same
+        # literal texts — not a pinned golden
+        from sphinxsearchengine_spark.ops.textstats import line_repetition
+
+        rows = [(i, t) for i, t in enumerate(_LINE_FIXTURES)]
+        df = spark.createDataFrame(rows, "id long, text string")
+        return line_repetition(df, "id", "text")
+    q["text_line_repetition"] = text_line_repetition
+
+    def text_scrub_pii(spark, sf):
+        # email/URL/IPv4 redaction + counts over designed fixtures
+        # (driver corpus contains no PII-shaped strings); patterns are
+        # the restricted Java∩RE2 dialect so the oracle runs the SAME
+        # pattern strings (built from ops.scrub.PII_PATTERNS)
+        from sphinxsearchengine_spark.ops.scrub import scrub_pii
+
+        rows = [(i, t) for i, t in enumerate(_PII_FIXTURES)]
+        df = spark.createDataFrame(rows, "id long, text string")
+        return scrub_pii(df, "id", "text")
+    q["text_scrub_pii"] = text_scrub_pii
+
+    def decontam_ngram(spark, sf):
+        # benchmark decontamination: deterministic 5%-hash sample of the
+        # corpus plays the eval set, the complement is the training side
+        # checked against it (3-gram overlap).  Bench n-grams broadcast;
+        # one corpus scan; one one-row-per-doc shuffle.
+        from sphinxsearchengine_spark.ops.decontam import decontaminate
+        from sphinxsearchengine_spark.ops.sampling import hash_predicate
+
+        d = _t(spark, sf, "documents")
+        keep = hash_predicate("doc_id", 0.05, salt="bench")
+        return decontaminate(
+            d.filter(~keep), d.filter(keep), "doc_id", "text", n=3
+        )
+    q["decontam_ngram"] = decontam_ngram
 
     def dedup_embedding_cosine(spark, sf):
         # embedding-cosine near-dup pairs (the vector-space dedup mode):
@@ -1381,6 +1465,139 @@ def oracle_sql() -> dict[str, str]:
                  i -> md5(array_to_string(list_slice(toks, i + 1, i + 5), ' '))
                )) AS fp
         FROM base
+    """
+
+    # Gopher-style repetition signals: the oracle recomputes the
+    # per-document n-gram frequency tables relationally (unnest +
+    # position self-joins + GROUP BY) — an independent computation from
+    # the engine's in-row sorted-fold.
+    def _gram_cte(n: int) -> str:
+        joins = "\n          ".join(
+            f"JOIN tokpos t{i} ON t{i}.doc_id = t0.doc_id"
+            f" AND t{i}.pos = t0.pos + {i}"
+            for i in range(1, n)
+        )
+        gram = " || ' ' || ".join(f"t{i}.term" for i in range(n))
+        return (
+            f"g{n} AS (SELECT t0.doc_id, {gram} AS g FROM tokpos t0\n"
+            f"          {joins}),\n"
+            f"        c{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n}"
+            f" GROUP BY 1, 2),\n"
+            f"        a{n} AS (SELECT doc_id, sum(c)::BIGINT AS total,"
+            f" max(c) AS mx,\n"
+            f"               sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT"
+            f" AS dup FROM c{n} GROUP BY 1)"
+        )
+
+    sql["text_repetition"] = f"""
+        WITH raw AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term,
+                 generate_subscripts(string_split_regex(lower(text), '[^a-z0-9]+'), 1) AS pos
+          FROM documents
+        ),
+        tokpos AS (SELECT doc_id, term, pos FROM raw WHERE term <> ''),
+        tok_n AS (SELECT doc_id, count(*)::BIGINT AS n_tokens FROM tokpos GROUP BY 1),
+        {_gram_cte(2)},
+        {_gram_cte(3)}
+        SELECT d.doc_id AS id,
+               coalesce(tok_n.n_tokens, 0)::BIGINT AS n_tokens,
+               round(coalesce(a2.mx * 1.0 / a2.total, 0.0), 6) AS top_2gram_frac,
+               round(coalesce(a2.dup * 1.0 / a2.total, 0.0), 6) AS dup_2gram_frac,
+               round(coalesce(a3.mx * 1.0 / a3.total, 0.0), 6) AS top_3gram_frac,
+               round(coalesce(a3.dup * 1.0 / a3.total, 0.0), 6) AS dup_3gram_frac
+        FROM documents d
+        LEFT JOIN tok_n ON tok_n.doc_id = d.doc_id
+        LEFT JOIN a2 ON a2.doc_id = d.doc_id
+        LEFT JOIN a3 ON a3.doc_id = d.doc_id
+    """
+
+    sql["text_line_repetition"] = f"""
+        WITH src(id, text) AS (VALUES {_fixture_values(_LINE_FIXTURES)}),
+        raw AS (
+          SELECT id, trim(unnest(string_split(text, chr(10)))) AS line
+          FROM src
+        ),
+        lines AS (SELECT id, line FROM raw WHERE line <> ''),
+        cnt AS (SELECT id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+        agg AS (
+          SELECT id, sum(c)::BIGINT AS n_lines,
+                 sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup,
+                 sum(c * length(line))::BIGINT AS chars,
+                 sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END)::BIGINT AS dup_chars
+          FROM cnt GROUP BY 1
+        )
+        SELECT src.id,
+               coalesce(agg.n_lines, 0)::BIGINT AS n_lines,
+               round(coalesce(agg.dup * 1.0 / agg.n_lines, 0.0), 6) AS dup_line_frac,
+               round(coalesce(agg.dup_chars * 1.0 / agg.chars, 0.0), 6) AS dup_line_char_frac
+        FROM src LEFT JOIN agg USING (id)
+    """
+
+    # PII scrub: the SAME pattern strings the engine uses (restricted
+    # Java∩RE2 dialect, ops/scrub.py) run through DuckDB's RE2 — counts
+    # staged exactly like the engine (urls on raw, emails on
+    # url-redacted, ipv4s on email-redacted).
+    from sphinxsearchengine_spark.ops.scrub import PII_PATTERNS
+
+    _pp = {name: (pat, tok) for name, pat, tok in PII_PATTERNS}
+    _u, _e, _i = _pp["urls"], _pp["emails"], _pp["ipv4s"]
+    sql["text_scrub_pii"] = (
+        "WITH src(id, text) AS (VALUES "
+        + _fixture_values(_PII_FIXTURES)
+        + "), s1 AS (SELECT id,"
+        + " len(regexp_extract_all(text, '" + _u[0] + "'))::BIGINT AS n_urls,"
+        + " regexp_replace(text, '" + _u[0] + "', '" + _u[1] + "', 'g') AS t1"
+        + " FROM src), s2 AS (SELECT id, n_urls,"
+        + " len(regexp_extract_all(t1, '" + _e[0] + "'))::BIGINT AS n_emails,"
+        + " regexp_replace(t1, '" + _e[0] + "', '" + _e[1] + "', 'g') AS t2"
+        + " FROM s1)"
+        + " SELECT id, n_urls, n_emails,"
+        + " len(regexp_extract_all(t2, '" + _i[0] + "'))::BIGINT AS n_ipv4s,"
+        + " regexp_replace(t2, '" + _i[0] + "', '" + _i[1] + "', 'g') AS text"
+        + " FROM s2"
+    )
+
+    # benchmark decontamination: bench = deterministic 5% hash sample
+    # (same md5-low64 predicate as the engine, salt 'bench'), train =
+    # exact complement; overlap counted over DISTINCT 3-gram shingles.
+    _hb = oracle_hash_expr("doc_id", "bench")
+    _thrb = threshold_of(0.05)
+    sql["decontam_ngram"] = f"""
+        WITH raw AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term,
+                 generate_subscripts(string_split_regex(lower(text), '[^a-z0-9]+'), 1) AS pos
+          FROM documents
+        ),
+        tokpos AS (SELECT doc_id, term, pos FROM raw WHERE term <> ''),
+        sh AS (
+          SELECT DISTINCT a.doc_id,
+                 a.term || ' ' || b.term || ' ' || c.term AS shingle
+          FROM tokpos a
+          JOIN tokpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          JOIN tokpos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        ),
+        sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+        bench AS (SELECT doc_id FROM documents
+                  WHERE {_hb} < {_thrb}::UHUGEINT),
+        bsh AS (SELECT DISTINCT shingle FROM sh JOIN bench USING (doc_id)),
+        train AS (SELECT doc_id FROM documents
+                  WHERE NOT ({_hb} < {_thrb}::UHUGEINT)),
+        hits AS (
+          SELECT s.doc_id, count(*)::BIGINT AS c
+          FROM sh s JOIN train USING (doc_id) JOIN bsh USING (shingle)
+          GROUP BY 1
+        )
+        SELECT t.doc_id AS id,
+               coalesce(z.n, 0)::BIGINT AS n_ngrams,
+               coalesce(h.c, 0)::BIGINT AS n_hits,
+               round(coalesce(h.c * 1.0 / z.n, 0.0), 6) AS overlap_frac,
+               (CASE WHEN coalesce(h.c, 0) > 0 THEN 1 ELSE 0 END)::INT
+                 AS contaminated
+        FROM train t
+        LEFT JOIN sizes z ON z.doc_id = t.doc_id
+        LEFT JOIN hits h ON h.doc_id = t.doc_id
     """
 
     # ---- engine-path oracles ------------------------------------------------

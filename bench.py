@@ -201,9 +201,11 @@ def main() -> int:
         queries[name] = _best_of(run, 3)
 
     wall = round(time.time() - t_suite, 3)
-    # headline = SUM of the reported per-cell times (each cell best-of-N)
-    # — the repeat-inclusive wall clock is reported separately so the
-    # headline stays comparable with the single-shot r1-r3 rounds
+    # headline = SUM of the reported per-cell times (each cell best-of-N).
+    # Comparable with r4+ only: r1-r3 headlines were single-shot suite
+    # walls that also included searcher init and corpus-gen time (see the
+    # module docstring and BENCH/BASELINE.md).  The repeat-inclusive wall
+    # is published separately as suite_wall_with_repeats.
     total = round(sum(queries.values()), 3)
     extra["suite_wall_with_repeats"] = wall
     spark.stop()

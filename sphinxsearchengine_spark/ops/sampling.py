@@ -61,13 +61,20 @@ def _key(id_col: str, salt: str) -> Column:
     return F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
 
 
+def hash_predicate(id_col: str, fraction: float, salt: str = "s42") -> Column:
+    """The keep-predicate behind hash_sample, exposed so callers can
+    negate it (``~hash_predicate(...)``) for the exact complement —
+    e.g. benchmark vs training sides of a decontamination check."""
+    return md5_low64_col(_key(id_col, salt)) < _thr_lit(fraction)
+
+
 def hash_sample(
     df: DataFrame, id_col: str, fraction: float, salt: str = "s42"
 ) -> DataFrame:
     """Deterministic ~``fraction`` subsample: keeps exactly the rows
     whose id-hash falls under the threshold — same rows every run, on
     every cluster, at every partitioning."""
-    return df.filter(md5_low64_col(_key(id_col, salt)) < _thr_lit(fraction))
+    return df.filter(hash_predicate(id_col, fraction, salt))
 
 
 def stratified_sample(

@@ -79,6 +79,126 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _run_stats(arr, with_chars: bool = False):
+    """Fold over a SORTED string array counting equal-run statistics —
+    the in-row (zero-shuffle, whole-stage-codegen) alternative to
+    explode + groupBy for per-document repetition measures.
+
+    Returns struct(mx, dup[, dup_chars]):
+      mx        — count of the most frequent element,
+      dup       — number of INSTANCES whose value occurs more than once
+                  (when a run reaches length 2 both members join; each
+                  further member adds one — no flush pass needed),
+      dup_chars — total characters of those instances (only when
+                  ``with_chars``).
+    """
+    fields = [
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("mx"),
+        F.lit(0).alias("dup"),
+    ]
+    if with_chars:
+        fields.append(F.lit(0).alias("dup_chars"))
+
+    def merge(acc, x):
+        run2 = acc["run"] + 1
+        new = [
+            x.alias("prev"),
+            F.when(x == acc["prev"], run2).otherwise(F.lit(1)).alias("run"),
+            F.when(x == acc["prev"], F.greatest(acc["mx"], run2))
+            .otherwise(F.greatest(acc["mx"], F.lit(1))).alias("mx"),
+            F.when(
+                x == acc["prev"],
+                acc["dup"] + F.when(run2 == 2, F.lit(2)).otherwise(F.lit(1)),
+            ).otherwise(acc["dup"]).alias("dup"),
+        ]
+        if with_chars:
+            new.append(
+                F.when(
+                    x == acc["prev"],
+                    acc["dup_chars"]
+                    + F.length(x)
+                    * F.when(run2 == 2, F.lit(2)).otherwise(F.lit(1)),
+                ).otherwise(acc["dup_chars"]).alias("dup_chars")
+            )
+        return F.struct(*new)
+
+    return F.aggregate(F.array_sort(arr), F.struct(*fields), merge)
+
+
+def _frac(num, den):
+    return F.round(
+        F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
+    )
+
+
+def _ngrams(toks, n: int):
+    """All n-gram instance strings of a token array (space-joined),
+    empty array when the document has fewer than n tokens."""
+    count = F.size(toks) - (n - 1)
+    idx = F.when(count > 0, F.sequence(F.lit(0), count - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def ngram_repetition(
+    df: DataFrame, id_col: str, text_col: str, ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """(id, n_tokens, top_{n}gram_frac, dup_{n}gram_frac per n) — the
+    Gopher-style repetition quality signals (Rae et al. 2021 §A1.1),
+    token-level variant:
+
+      top_ngram_frac — instances of the single most frequent n-gram /
+                       total n-gram instances,
+      dup_ngram_frac — instances whose n-gram occurs more than once /
+                       total n-gram instances.
+
+    Boilerplate and templated spam score high on both; 0.0 for
+    documents with fewer than n tokens.  Pure in-row column
+    expressions (sorted-fold, no explode/shuffle/UDF): at 100 TB this
+    is a narrow map over the corpus scan.
+    """
+    toks = _tokens(F.col(text_col))
+    cols = [F.col(id_col).alias("id"), F.size(toks).alias("n_tokens")]
+    for n in ns:
+        grams = _ngrams(toks, n)
+        st = _run_stats(grams)
+        total = F.size(grams)
+        cols.append(_frac(st["mx"], total).alias(f"top_{n}gram_frac"))
+        cols.append(_frac(st["dup"], total).alias(f"dup_{n}gram_frac"))
+    return df.select(*cols)
+
+
+def line_repetition(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """(id, n_lines, dup_line_frac, dup_line_char_frac) — fraction of
+    lines (and of line characters) belonging to a line value that
+    occurs more than once in the document (Gopher §A1.1 duplicate-line
+    filters).  Lines are ``sep``-split, trimmed, empties dropped.
+    Same zero-shuffle sorted-fold as ngram_repetition."""
+    # NB: the trim lambda must be single-arg — F.trim itself takes an
+    # optional second param (the trim char set) and transform() would
+    # feed it the element INDEX, silently trimming digits instead.
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), sep), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    st = _run_stats(lines, with_chars=True)
+    n = F.size(lines)
+    chars = F.aggregate(
+        F.transform(lines, F.length), F.lit(0), lambda a, v: a + v
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_lines"),
+        _frac(st["dup"], n).alias("dup_line_frac"),
+        _frac(st["dup_chars"], chars).alias("dup_line_char_frac"),
+    )
+
+
 def fingerprint(
     df: DataFrame, id_col: str, text_col: str, k: int = 5,
     hash_fn: str = "xxhash64",

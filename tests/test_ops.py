@@ -764,3 +764,121 @@ class TestSampling:
         assert all(b[k] == v for k, v in s.items())  # growth keeps sides
         n_test = sum(1 for v in b.values() if v == "test")
         assert 180 < n_test < 320  # ~250
+
+
+class TestRepetitionStats:
+    """Gopher-style repetition signals (textstats.ngram_repetition /
+    line_repetition) — hand-computed fixtures."""
+
+    def test_ngram_repetition_hand_values(self, spark):
+        from sphinxsearchengine_spark.ops.textstats import ngram_repetition
+
+        df = spark.createDataFrame(
+            [(1, "a b a b a b c"), (2, "x y z"), (3, ""), (4, "q")],
+            "id long, text string",
+        )
+        got = {r.id: r for r in ngram_repetition(df, "id", "text").collect()}
+        # doc 1 2-grams: ab ba ab ba ab bc -> top 3/6, dup (3+2)/6
+        assert got[1].n_tokens == 7
+        assert got[1].top_2gram_frac == 0.5
+        assert got[1].dup_2gram_frac == round(5 / 6, 6)
+        # doc 1 3-grams: aba bab aba bab abc -> top 2/5, dup 4/5
+        assert got[1].top_3gram_frac == 0.4
+        assert got[1].dup_3gram_frac == 0.8
+        # no repeats: top = 1/n_grams, dup = 0
+        assert got[2].top_2gram_frac == 0.5 and got[2].dup_2gram_frac == 0.0
+        # degenerate docs -> all zeros, rows still present
+        for i in (3, 4):
+            assert got[i].top_2gram_frac == 0.0
+            assert got[i].dup_3gram_frac == 0.0
+
+    def test_line_repetition_hand_values(self, spark):
+        from sphinxsearchengine_spark.ops.textstats import line_repetition
+
+        df = spark.createDataFrame(
+            [(1, "foo\nbar\nfoo\n baz \nbar\nfoo"), (2, "only\nlines"),
+             (3, "\n \n")],
+            "id long, text string",
+        )
+        got = {r.id: r for r in line_repetition(df, "id", "text").collect()}
+        # foo x3 + bar x2 duplicated of 6 lines; baz trims to 3 chars
+        assert got[1].n_lines == 6
+        assert got[1].dup_line_frac == round(5 / 6, 6)
+        assert got[1].dup_line_char_frac == round(15 / 18, 6)
+        assert got[2] == (2, 2, 0.0, 0.0)
+        assert got[3] == (3, 0, 0.0, 0.0)  # whitespace-only -> no lines
+
+    def test_ngram_repetition_plan_is_narrow(self, spark):
+        # zero-shuffle contract: no Exchange, no Python in the plan
+        from sphinxsearchengine_spark.ops.textstats import ngram_repetition
+
+        df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+        plan = ngram_repetition(df, "id", "text")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestDecontaminate:
+    def test_hand_values_and_full_row_coverage(self, spark):
+        from sphinxsearchengine_spark.ops.decontam import decontaminate
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b a b c"), (2, "x y z"), (3, ""), (4, "q")],
+            "id long, text string",
+        )
+        bench = spark.createDataFrame([(100, "a b a")], "id long, text string")
+        got = {r.id: r for r in
+               decontaminate(docs, bench, "id", "text", n=2).collect()}
+        assert len(got) == 4  # every doc row survives, even gram-less
+        # doc 1 distinct 2-grams {ab, ba, bc}; bench grams {ab, ba}
+        assert got[1] == (1, 3, 2, round(2 / 3, 6), 1)
+        assert got[2].contaminated == 0 and got[2].n_hits == 0
+        assert got[3] == (3, 0, 0, 0.0, 0)
+        assert got[4] == (4, 0, 0, 0.0, 0)
+
+    def test_empty_bench_flags_nothing(self, spark):
+        from sphinxsearchengine_spark.ops.decontam import decontaminate
+
+        docs = spark.createDataFrame([(1, "a b c")], "id long, text string")
+        bench = docs.filter("id < 0")
+        rows = decontaminate(docs, bench, "id", "text", n=2).collect()
+        assert [(r.n_hits, r.contaminated) for r in rows] == [(0, 0)]
+
+    def test_bench_side_is_broadcast(self, spark):
+        from sphinxsearchengine_spark.ops.decontam import decontaminate
+
+        docs = spark.createDataFrame([(1, "a b c")], "id long, text string")
+        plan = decontaminate(docs, docs, "id", "text", n=2)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
+class TestScrubPii:
+    def test_redaction_and_counts(self, spark):
+        from sphinxsearchengine_spark.ops.scrub import scrub_pii
+
+        df = spark.createDataFrame(
+            [(1, "mail bob@example.com see https://x.io/a?u=1"),
+             (2, "hosts 10.0.0.1 192.168.1.255; ftp://not-a-match"),
+             (3, "https://u:p@h.com/p and carol.smith+x@sub.domain.org"),
+             (4, "clean")],
+            "id long, text string",
+        )
+        got = {r.id: r for r in scrub_pii(df, "id", "text").collect()}
+        assert got[1].text == "mail <EMAIL> see <URL>"
+        assert (got[1].n_urls, got[1].n_emails, got[1].n_ipv4s) == (1, 1, 0)
+        assert got[2].text == "hosts <IP> <IP>; ftp://not-a-match"
+        assert got[2].n_ipv4s == 2
+        # URL redacted FIRST: the email-shaped userinfo belongs to the
+        # URL and must not be double-counted as an email
+        assert got[3].text == "<URL> and <EMAIL>"
+        assert (got[3].n_urls, got[3].n_emails) == (1, 1)
+        assert got[4].text == "clean"
+
+    def test_plan_is_narrow(self, spark):
+        from sphinxsearchengine_spark.ops.scrub import scrub_pii
+
+        df = spark.createDataFrame([(1, "x")], "id long, text string")
+        plan = scrub_pii(df, "id", "text")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
