@@ -49,6 +49,12 @@ _PII_FIXTURES = [
 ]
 
 
+# unique memory-sink names for streaming gate entries (a queryName can
+# only be active once; a plain counter keeps reruns in one session safe
+# without wall-clock/RNG)
+_STREAM_SINK_IDS = iter(range(1_000_000))
+
+
 def _sql_str(t: str) -> str:
     """Python string -> DuckDB string literal (newlines via chr(10))."""
     parts = ["'" + p.replace("'", "''") + "'" for p in t.split("\n")]
@@ -265,6 +271,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
     q["rel_events_window"] = rel_events_window
+
+    def stream_events_window(spark, sf):
+        # REAL Structured Streaming execution: availableNow file source
+        # -> watermarked windowed agg -> complete-mode memory sink,
+        # which must equal the batch hourly aggregate (stream/batch
+        # unification; append-mode emit-once + late-drop semantics are
+        # pytest-covered in tests/test_streaming.py).  withWatermark
+        # requires LTZ timestamps (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+        # on NTZ), so ts is read as 'timestamp': the naive parquet value
+        # is interpreted in the session tz and date_format renders it
+        # back in the same tz — wall-clock round-trips under any fixed
+        # offset (window ALIGNMENT would shift only in half-hour-offset
+        # zones, which no driver host uses).
+        from sphinxsearchengine_spark.streaming import windowed_event_counts
+
+        name = f"gate_stream_win_{next(_STREAM_SINK_IDS)}"
+        schema = (
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        # the file source wants a DIRECTORY; events.parquet is a plain
+        # file, so stream the sf dir with a glob filter selecting it
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf)
+        )
+        query = (
+            windowed_event_counts(stream, "1 hour", "30 minutes")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(300)
+        return spark.table(name).select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm").alias(
+                "hour_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    q["stream_events_window"] = stream_events_window
 
     def rel_sessionize(spark, sf):  # gap-based sessionization (OLAP pattern)
         from pyspark.sql import Window
@@ -1041,6 +1093,8 @@ def oracle_sql() -> dict[str, str]:
                event_type, count(*) AS n, round(sum(value), 2) AS total_value
         FROM events GROUP BY 1, 2
     """
+    # the streaming twin must equal the very same batch aggregate
+    sql["stream_events_window"] = sql["rel_events_window"]
 
     sql["rel_sessionize"] = """
         WITH g AS (

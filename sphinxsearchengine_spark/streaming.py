@@ -53,6 +53,150 @@ def apply_edit_batch(
         batch.unpersist()
 
 
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming twin of
+    the `rel_events_window` batch gate (identical agg columns, so
+    stream/batch parity is testable).  Works on a `readStream` source
+    (append mode emits each window once, when the watermark passes its
+    end; rows later than ``watermark`` behind the max seen event time
+    are dropped) and on a batch DataFrame (watermark is a no-op).
+
+    At 100 TB/day this is the shape that holds up: state is bounded by
+    (windows in watermark horizon × event types), partial aggregation
+    happens map-side per micro-batch, and the shuffle key
+    (window, event_type) is low-cardinality."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long"
+)
+_SESSION_STATE_SCHEMA = "start double, last double, n long"
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessionization as a custom STATEFUL streaming operator
+    (`applyInPandasWithState`, event-time timeout) — the streaming twin
+    of the `rel_sessionize` batch gate's session derivation.
+
+    One state cell per user holds only the OPEN session (start, last
+    event time, count).  Each micro-batch extends or closes it: a new
+    event within ``gap_seconds`` of the last extends the session; a
+    larger gap closes the old session (emitted) and opens a new one.
+    When the watermark passes last+gap the event-time timeout fires and
+    the final session is emitted — so every session is emitted exactly
+    once, sessions never straddle the output.
+
+    Ordering contract (same as Spark's own sessionization example):
+    events are sorted within a batch; cross-batch ordering is the
+    source's responsibility up to the watermark (later-than-watermark
+    rows are dropped by Spark before reaching the operator).
+
+    Scale shape: state per key is three scalars — memory is O(active
+    users in the gap horizon), not O(events); the only shuffle is the
+    groupBy(user_id) into the stateful operator, Arrow-batched.
+    """
+    import pandas as pd  # noqa: PLC0415 — Arrow path only
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap = float(gap_seconds)
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="s")],
+                    "session_end": [pd.Timestamp(last, unit="s")],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts = []
+        for pdf in pdf_iter:
+            # int64 ns -> epoch seconds: tz-independent, unlike
+            # Timestamp.timestamp() whose naive handling varies
+            ts.extend(pdf["ts"].astype("int64") / 1e9)
+        ts.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed = []
+        for t in ts:
+            if last is None:
+                start, last, n = t, t, 1
+            elif t - last > gap:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        if last is not None:
+            state.update((start, last, n))
+            # fire when the watermark passes the open session's close
+            # point (clamped above the current watermark — a session
+            # fed entirely by allowed-late rows could otherwise compute
+            # a timeout Spark rejects as already passed)
+            state.setTimeoutTimestamp(
+                max(
+                    int((last + gap) * 1000) + 1,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(s, unit="s") for s, _, _ in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(e, unit="s") for _, e, _ in closed
+                    ],
+                    "n_events": [c for _, _, c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            _SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def start_update_stream(
     spark: SparkSession,
     index_dir: str,
