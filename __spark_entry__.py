@@ -627,6 +627,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["decontam_ngram"] = decontam_ngram
 
+    def pipeline_curate(spark, sf):
+        # the composed curation pipeline: quality filter -> exact-dedup
+        # keepers -> decontamination vs the 5% hash-sample bench ->
+        # per-lang quota sample -> stable train/test split.  One gate
+        # row value-checks the WHOLE composition (stage interactions,
+        # not just stages).
+        from sphinxsearchengine_spark.ops.pipeline import curate
+        from sphinxsearchengine_spark.ops.sampling import hash_predicate
+
+        d = _t(spark, sf, "documents")
+        keep = hash_predicate("doc_id", 0.05, salt="bench")
+        out = curate(
+            d.filter(~keep), "doc_id", "text", "lang",
+            {"en": 0.5, "de": 1.0, "zh": 0.1},
+            bench=d.filter(keep), decontam_n=3, test_fraction=0.25,
+        )
+        return out.select("doc_id", "lang", "split")
+    q["pipeline_curate"] = pipeline_curate
+
     def dedup_embedding_cosine(spark, sf):
         # embedding-cosine near-dup pairs (the vector-space dedup mode):
         # exact mode here — the O(n^2) self-join IS the oracle semantics;
@@ -1652,6 +1671,78 @@ def oracle_sql() -> dict[str, str]:
         FROM train t
         LEFT JOIN sizes z ON z.doc_id = t.doc_id
         LEFT JOIN hits h ON h.doc_id = t.doc_id
+    """
+
+    # the composed curation pipeline, stage by stage in SQL: quality
+    # cond (text_quality oracle's), keeper = min id per md5(text) among
+    # quality survivors, decontamination vs the same 5% bench, then the
+    # two hash predicates (quota CASE + split)
+    _hq = oracle_hash_expr("doc_id", "s42")
+    _hsp = oracle_hash_expr("doc_id", "split")
+    sql["pipeline_curate"] = f"""
+        WITH tk AS (
+          SELECT doc_id, lang, text,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+          WHERE NOT ({_hb} < {_thrb}::UHUGEINT)
+        ),
+        m AS (
+          SELECT doc_id, lang, text, len(toks) AS n,
+                 CASE WHEN len(toks) > 0
+                      THEN list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)
+                      ELSE 0.0 END AS mean_len,
+                 CASE WHEN len(toks) > 0
+                      THEN len(list_filter(toks, x -> x IN
+                        ('the','a','an','and','or','of','to','in','is','it','for',
+                         'on','with','as','by','at','this','that','be','are')))::DOUBLE
+                           / len(toks)
+                      ELSE 0.0 END AS stop_ratio
+          FROM tk
+        ),
+        q AS (
+          SELECT doc_id, lang, text FROM m
+          WHERE n >= 10 AND mean_len >= 2.5 AND stop_ratio <= 0.6
+        ),
+        keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+        k AS (SELECT q.doc_id, q.lang FROM q JOIN keep USING (doc_id)),
+        raw AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term,
+                 generate_subscripts(string_split_regex(lower(text), '[^a-z0-9]+'), 1) AS pos
+          FROM documents
+        ),
+        tokpos AS (SELECT doc_id, term, pos FROM raw WHERE term <> ''),
+        sh AS (
+          SELECT DISTINCT a.doc_id,
+                 a.term || ' ' || b.term || ' ' || c.term AS shingle
+          FROM tokpos a
+          JOIN tokpos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          JOIN tokpos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        ),
+        bench AS (SELECT doc_id FROM documents
+                  WHERE {_hb} < {_thrb}::UHUGEINT),
+        bsh AS (SELECT DISTINCT shingle FROM sh JOIN bench USING (doc_id)),
+        contam AS (
+          SELECT DISTINCT s.doc_id
+          FROM sh s JOIN k USING (doc_id) JOIN bsh USING (shingle)
+        ),
+        clean AS (
+          SELECT k.doc_id, k.lang FROM k
+          WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        ),
+        samp AS (
+          SELECT doc_id, lang FROM clean
+          WHERE {_hq} < CASE lang
+              WHEN 'de' THEN {threshold_of(1.0)}::UHUGEINT
+              WHEN 'en' THEN {threshold_of(0.5)}::UHUGEINT
+              WHEN 'zh' THEN {threshold_of(0.1)}::UHUGEINT
+              ELSE 0::UHUGEINT END
+        )
+        SELECT doc_id, lang,
+               CASE WHEN {_hsp} < {threshold_of(0.25)}::UHUGEINT
+                    THEN 'test' ELSE 'train' END AS split
+        FROM samp
     """
 
     # ---- engine-path oracles ------------------------------------------------

@@ -59,13 +59,15 @@ def decontaminate(
         )
         .distinct()
     )
-    # ONE corpus scan: n_ngrams rides along the explode so no second
-    # scan / no re-join on id is needed; explode_outer keeps gram-less
-    # documents (null gram matches nothing -> n_hits 0).
+    # ONE corpus scan, and nothing but (id, gram) crosses the explode:
+    # the grams are distinct per doc, so count(gram) after the explode
+    # IS n_ngrams — carrying size(grams) as a sibling column instead
+    # would leave the full n-gram expression in a Project ABOVE the
+    # Generate, recomputed per exploded row (measured 50x slower).
+    # explode_outer keeps gram-less documents (null gram -> count 0).
     grams = F.array_distinct(_ngrams(_tokens(F.col(text_col)), n))
     doc_grams = docs.select(
         F.col(id_col).alias("id"),
-        F.size(grams).alias("n_ngrams"),
         F.explode_outer(grams).alias("gram"),
     )
     out = (
@@ -74,8 +76,11 @@ def decontaminate(
             "gram",
             "left",
         )
-        .groupBy("id", "n_ngrams")
-        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+        .groupBy("id")
+        .agg(
+            F.count("gram").alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
     )
     frac = F.round(
         F.when(

@@ -36,9 +36,9 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, n_tokens, mean_token_len, stopword_ratio, quality) — the
-    classic cheap quality gates (length / stopword-density heuristics)."""
+def _quality_parts(text_col: str):
+    """(n_tokens, mean_len, stop_ratio) column expressions shared by
+    quality_score and quality_flag."""
     toks = _tokens(F.col(text_col))
     n = F.size(toks)
     total_len = F.aggregate(
@@ -47,6 +47,20 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
     mean_len = F.when(n > 0, total_len.cast("double") / n).otherwise(F.lit(0.0))
     stop_ratio = F.when(n > 0, stop.cast("double") / n).otherwise(F.lit(0.0))
+    return n, mean_len, stop_ratio
+
+
+def quality_flag(text_col: str):
+    """The quality gate as a bare boolean Column — lets pipelines filter
+    rows in place (zero shuffle, no join back on id)."""
+    n, mean_len, stop_ratio = _quality_parts(text_col)
+    return (n >= 10) & (mean_len >= 2.5) & (stop_ratio <= 0.6)
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, mean_token_len, stopword_ratio, quality) — the
+    classic cheap quality gates (length / stopword-density heuristics)."""
+    n, mean_len, stop_ratio = _quality_parts(text_col)
     quality = (
         F.when((n >= 10) & (mean_len >= 2.5) & (stop_ratio <= 0.6), F.lit(1.0))
         .otherwise(F.lit(0.0))
@@ -102,21 +116,24 @@ def _run_stats(arr, with_chars: bool = False):
         fields.append(F.lit(0).alias("dup_chars"))
 
     def merge(acc, x):
+        # run > 0 guards the initial prev="" sentinel: a legitimate
+        # empty-string first element must START a run, not extend one
+        same = (x == acc["prev"]) & (acc["run"] > 0)
         run2 = acc["run"] + 1
         new = [
             x.alias("prev"),
-            F.when(x == acc["prev"], run2).otherwise(F.lit(1)).alias("run"),
-            F.when(x == acc["prev"], F.greatest(acc["mx"], run2))
+            F.when(same, run2).otherwise(F.lit(1)).alias("run"),
+            F.when(same, F.greatest(acc["mx"], run2))
             .otherwise(F.greatest(acc["mx"], F.lit(1))).alias("mx"),
             F.when(
-                x == acc["prev"],
+                same,
                 acc["dup"] + F.when(run2 == 2, F.lit(2)).otherwise(F.lit(1)),
             ).otherwise(acc["dup"]).alias("dup"),
         ]
         if with_chars:
             new.append(
                 F.when(
-                    x == acc["prev"],
+                    same,
                     acc["dup_chars"]
                     + F.length(x)
                     * F.when(run2 == 2, F.lit(2)).otherwise(F.lit(1)),

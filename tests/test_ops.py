@@ -882,3 +882,65 @@ class TestScrubPii:
         plan = scrub_pii(df, "id", "text")._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestCuratePipeline:
+    def test_each_stage_filters(self, spark):
+        from sphinxsearchengine_spark.ops.pipeline import curate
+
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lambda")
+        rows = [
+            (1, base + " one", "en"),        # survives everything
+            (2, "too short", "en"),          # fails quality (n<10)
+            (3, base + " one", "en"),        # exact dup of 1 -> dropped
+            (4, base + " contaminated benchmark overlap words", "en"),
+            (5, base + " two", "de"),        # survives (de quota 1.0)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        bench = spark.createDataFrame(
+            [(100, "contaminated benchmark overlap")],
+            "doc_id long, text string",
+        )
+        out = curate(
+            docs, "doc_id", "text", "lang", {"en": 1.0, "de": 1.0},
+            bench=bench, decontam_n=3, test_fraction=0.5,
+        )
+        got = {r.doc_id: r.split for r in out.collect()}
+        assert set(got) == {1, 5}
+        # split values are the stable content-hash sides
+        from sphinxsearchengine_spark.ops.sampling import train_test_split
+        expect = {
+            r.doc_id: r.split
+            for r in train_test_split(
+                docs.filter("doc_id in (1,5)"), "doc_id", 0.5
+            ).collect()
+        }
+        assert got == expect
+
+    def test_no_bench_skips_decontam(self, spark):
+        from sphinxsearchengine_spark.ops.pipeline import curate
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = spark.createDataFrame(
+            [(1, base, "en")], "doc_id long, text string, lang string"
+        )
+        assert curate(
+            docs, "doc_id", "text", "lang", {"en": 1.0}
+        ).count() == 1
+
+    def test_curate_plan_single_exchange_without_bench(self, spark):
+        # scale contract: quality filter + window-keeper dedup + the two
+        # hash predicates cost exactly ONE exchange (the md5 window);
+        # a groupBy+join-back dedup shape would show three
+        from sphinxsearchengine_spark.ops.pipeline import curate
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+              "en")],
+            "doc_id long, text string, lang string",
+        )
+        plan = curate(
+            docs, "doc_id", "text", "lang", {"en": 1.0}
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
