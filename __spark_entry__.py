@@ -255,6 +255,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["rel_tpch_q1"] = rel_tpch_q1
 
+    def rel_tpch_q3(spark, sf):
+        # shipping-priority: selective dim filter -> fact join -> top-k
+        # by revenue.  Customer is broadcast (1/5 segment of a dim
+        # table); the date output is formatted to string on both sides
+        # so the value hash can't trip on timestamp-vs-date dtypes.
+        # The ORDER BY is a total order (revenue, date, orderkey), so
+        # LIMIT 10 is deterministic on both engines.
+        c = _t(spark, sf, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        o = _t(spark, sf, "orders").filter(
+            F.col("o_orderdate") < "1998-03-15"
+        )
+        li = _t(spark, sf, "lineitem").filter(
+            F.col("l_shipdate") > "1998-03-15"
+        )
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy(
+                "l_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias(
+                    "o_orderdate"
+                ),
+                "o_orderpriority",
+            )
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    2,
+                ).alias("revenue")
+            )
+            .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+            .limit(10)
+        )
+    q["rel_tpch_q3"] = rel_tpch_q3
+
+    def rel_tpch_q5(spark, sf):
+        # local-supplier volume: the six-table join with the
+        # customer-and-supplier-same-nation condition; nation/region
+        # dims broadcast, facts shuffle only on the join keys
+        r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+        n = _t(spark, sf, "nation")
+        c = _t(spark, sf, "customer")
+        s = _t(spark, sf, "supplier")
+        o = _t(spark, sf, "orders").filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .join(
+                s,
+                (F.col("l_suppkey") == F.col("s_suppkey"))
+                & (F.col("c_nationkey") == F.col("s_nationkey")),
+            )
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("n_name")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    2,
+                ).alias("revenue")
+            )
+        )
+    q["rel_tpch_q5"] = rel_tpch_q5
+
     def rel_events_window(spark, sf):  # tumbling-window agg (streaming analog)
         ev = _t(spark, sf, "events")
         return (
@@ -1106,6 +1176,36 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
+    """
+    sql["rel_tpch_q3"] = """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """
+    sql["rel_tpch_q5"] = """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
     """
     sql["rel_events_window"] = """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,

@@ -200,6 +200,24 @@ def main() -> int:
 
         queries[name] = _best_of(run, 3)
 
+    # --- 4. round-5 operator cells, OUTSIDE the headline: the headline
+    # `value` keeps the exact r4 cell set so rounds compare
+    # like-for-like; these are one-shot informational timings ---------------
+    extra["new_op_cells_r5"] = {}
+    for name in [
+        "text_repetition",
+        "decontam_ngram",
+        "pipeline_curate",
+        "sample_split",
+        "stream_events_window",
+        "rel_tpch_q3",
+        "rel_tpch_q5",
+    ]:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        gate_queries[name](spark, SF_DIR).collect()
+        extra["new_op_cells_r5"][name] = round(time.time() - t0, 3)
+
     wall = round(time.time() - t_suite, 3)
     # headline = SUM of the reported per-cell times (each cell best-of-N).
     # Comparable with r4+ only: r1-r3 headlines were single-shot suite

@@ -122,27 +122,39 @@ def sessionize_stream(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    gap = float(gap_seconds)
+    # integer MICROSECONDS throughout: float epoch-seconds leave
+    # nonzero sub-microsecond nanos after the ns->s division, and the
+    # Arrow writer rejects the resulting ns->us cast as unsafe on any
+    # real (sub-second-precision) timestamp.  Epoch-us (~1.7e15) is
+    # exactly representable in the double state columns (< 2^53).
+    gap = int(gap_seconds) * 1_000_000
+
+    def _emit(user_id, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(sessions),
+                "session_start": [
+                    pd.Timestamp(int(s), unit="us") for s, _, _ in sessions
+                ],
+                "session_end": [
+                    pd.Timestamp(int(e), unit="us") for _, e, _ in sessions
+                ],
+                "n_events": [c for _, _, c in sessions],
+            }
+        )
 
     def fn(key, pdf_iter, state):
         (user_id,) = key
         if state.hasTimedOut:
             start, last, n = state.get
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "session_start": [pd.Timestamp(start, unit="s")],
-                    "session_end": [pd.Timestamp(last, unit="s")],
-                    "n_events": [n],
-                }
-            )
+            yield _emit(user_id, [(start, last, n)])
             return
         ts = []
         for pdf in pdf_iter:
-            # int64 ns -> epoch seconds: tz-independent, unlike
+            # int64 ns -> epoch us: tz-independent, unlike
             # Timestamp.timestamp() whose naive handling varies
-            ts.extend(pdf["ts"].astype("int64") / 1e9)
+            ts.extend(pdf["ts"].astype("int64") // 1000)
         ts.sort()
         if state.exists:
             start, last, n = state.get
@@ -159,30 +171,21 @@ def sessionize_stream(
             else:
                 last, n = t, n + 1
         if last is not None:
-            state.update((start, last, n))
+            # plain Python floats: numpy int64 into the double state
+            # columns is rejected by the Arrow state serializer
+            state.update((float(start), float(last), int(n)))
             # fire when the watermark passes the open session's close
             # point (clamped above the current watermark — a session
             # fed entirely by allowed-late rows could otherwise compute
             # a timeout Spark rejects as already passed)
             state.setTimeoutTimestamp(
                 max(
-                    int((last + gap) * 1000) + 1,
+                    int(last + gap) // 1000 + 1,
                     state.getCurrentWatermarkMs() + 1,
                 )
             )
         if closed:
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id] * len(closed),
-                    "session_start": [
-                        pd.Timestamp(s, unit="s") for s, _, _ in closed
-                    ],
-                    "session_end": [
-                        pd.Timestamp(e, unit="s") for _, e, _ in closed
-                    ],
-                    "n_events": [c for _, _, c in closed],
-                }
-            )
+            yield _emit(user_id, closed)
 
     return (
         events.withWatermark("ts", watermark)

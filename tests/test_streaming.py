@@ -261,3 +261,87 @@ def test_windowed_event_counts_batch_parity(spark, sf_events=None):
         (int(T0), "B", 1, 4.0),
         (int(T0 + H), "A", 1, 3.0),
     }
+
+
+def test_sessionize_stream_parity_on_real_events(spark, tmp_path):
+    """Cross-validation on the driver's events table (sf0.001, ~3k
+    rows): streaming gap-sessionization (single data batch + sentinel
+    flush) must yield exactly the batch window-lag session set."""
+    import shutil
+
+    from pyspark.sql import Window
+    from sphinxsearchengine_spark.streaming import sessionize_stream
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    src_file = os.path.join(sf, "events.parquet")
+    if not os.path.exists(src_file):
+        import pytest
+        pytest.skip("driver testdata not present")
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # batch reference: session id by gap > 1800s within user
+    ev = spark.read.schema(schema).parquet(src_file)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+                   > 1800),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    expect = sorted(
+        (r.user_id, r.n_events) for r in batch.collect()
+    )
+
+    # streaming side: the whole table is ONE micro-batch (every user's
+    # events arrive together, so in-batch sorting covers ordering); a
+    # far-future sentinel then advances the watermark past every open
+    # session's timeout
+    src = tmp_path / "real_events"
+    src.mkdir()
+    shutil.copyfile(src_file, src / "b1.parquet")
+    os.utime(src / "b1.parquet", (1e9, 1e9))
+    max_ts = ev.agg(F.max(F.col("ts").cast("long"))).collect()[0][0]
+    _write_event_file(
+        str(src / "b2.parquet"),
+        [(10**9, max_ts + 10 * 24 * 3600, 999_999_999, "SENTINEL", 0.0)],
+        1e9 + 10,
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess_real")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r.user_id, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_real").collect()
+        if r.user_id != 999_999_999
+    )
+    assert got == expect
