@@ -647,6 +647,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            hash_fn="md5")
     q["text_fingerprint"] = text_fingerprint
 
+    def text_token_count_bpe(spark, sf):
+        # BPE-ish piece counting (subword-budget estimator); the same
+        # Java∩RE2 pattern string runs on both sides
+        from sphinxsearchengine_spark.ops.textstats import token_count_bpe
+
+        return token_count_bpe(_t(spark, sf, "documents"), "doc_id", "text")
+    q["text_token_count_bpe"] = text_token_count_bpe
+
     def text_repetition(spark, sf):
         # Gopher-style n-gram repetition signals (token-level): pure
         # in-row sorted-fold column expressions — zero shuffle, no
@@ -1638,6 +1646,15 @@ def oracle_sql() -> dict[str, str]:
                  i -> md5(array_to_string(list_slice(toks, i + 1, i + 5), ' '))
                )) AS fp
         FROM base
+    """
+
+    from sphinxsearchengine_spark.ops.textstats import BPE_PIECE_PATTERN
+
+    sql["text_token_count_bpe"] = f"""
+        SELECT doc_id AS id,
+               len(regexp_extract_all(text, '{BPE_PIECE_PATTERN}'))::BIGINT
+                 AS n_pieces
+        FROM documents
     """
 
     # Gopher-style repetition signals: the oracle recomputes the

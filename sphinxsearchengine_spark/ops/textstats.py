@@ -50,6 +50,25 @@ def _quality_parts(text_col: str):
     return n, mean_len, stop_ratio
 
 
+# BPE-ish pre-tokenization pieces, restricted to the Java∩RE2 regex
+# dialect (no lookahead/unicode-category classes of the real GPT-2
+# pattern): letter runs, digit runs, punctuation runs.  Counts track
+# subword-tokenizer budgets far better than whitespace words on code
+# and punctuation-heavy text.
+BPE_PIECE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_pieces) — BPE-ish piece count via one JVM regexp_count
+    (narrow plan, zero shuffle)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_PIECE_PATTERN)).alias(
+            "n_pieces"
+        ),
+    )
+
+
 def quality_flag(text_col: str):
     """The quality gate as a bare boolean Column — lets pipelines filter
     rows in place (zero shuffle, no join back on id)."""
@@ -98,21 +117,30 @@ def _run_stats(arr, with_chars: bool = False):
     the in-row (zero-shuffle, whole-stage-codegen) alternative to
     explode + groupBy for per-document repetition measures.
 
-    Returns struct(mx, dup[, dup_chars]):
+    Returns struct(cnt, mx, dup[, chars, dup_chars]):
+      cnt       — element count (so callers need no separate size()
+                  evaluation of the — possibly expensive — array expr),
       mx        — count of the most frequent element,
       dup       — number of INSTANCES whose value occurs more than once
                   (when a run reaches length 2 both members join; each
                   further member adds one — no flush pass needed),
-      dup_chars — total characters of those instances (only when
+      chars     — total characters (only when ``with_chars``),
+      dup_chars — total characters of duplicated instances (only when
                   ``with_chars``).
+
+    IMPORTANT for callers: extract MULTIPLE fields only from a
+    materialized attribute (e.g. behind the `_once` explode barrier),
+    never directly — each direct getField would re-run the whole fold.
     """
     fields = [
         F.lit("").alias("prev"),
         F.lit(0).alias("run"),
+        F.lit(0).alias("cnt"),
         F.lit(0).alias("mx"),
         F.lit(0).alias("dup"),
     ]
     if with_chars:
+        fields.append(F.lit(0).alias("chars"))
         fields.append(F.lit(0).alias("dup_chars"))
 
     def merge(acc, x):
@@ -123,6 +151,7 @@ def _run_stats(arr, with_chars: bool = False):
         new = [
             x.alias("prev"),
             F.when(same, run2).otherwise(F.lit(1)).alias("run"),
+            (acc["cnt"] + 1).alias("cnt"),
             F.when(same, F.greatest(acc["mx"], run2))
             .otherwise(F.greatest(acc["mx"], F.lit(1))).alias("mx"),
             F.when(
@@ -131,6 +160,7 @@ def _run_stats(arr, with_chars: bool = False):
             ).otherwise(acc["dup"]).alias("dup"),
         ]
         if with_chars:
+            new.append((acc["chars"] + F.length(x)).alias("chars"))
             new.append(
                 F.when(
                     same,
@@ -142,6 +172,18 @@ def _run_stats(arr, with_chars: bool = False):
         return F.struct(*new)
 
     return F.aggregate(F.array_sort(arr), F.struct(*fields), merge)
+
+
+def _once(df: DataFrame, id_col: str, expr) -> DataFrame:
+    """(id, x=expr) with ``expr`` GUARANTEED to evaluate once per row:
+    explode(array(expr)) puts it inside a Generate, which projection
+    collapse cannot cross — without this, every output column that
+    extracts a field would re-run the whole (expensive) fold, and the
+    optimizer would happily inline it (measured 6x waste in the
+    text_repetition gate)."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array(expr)).alias("x")
+    )
 
 
 def _frac(num, den):
@@ -178,14 +220,17 @@ def ngram_repetition(
     is a narrow map over the corpus scan.
     """
     toks = _tokens(F.col(text_col))
-    cols = [F.col(id_col).alias("id"), F.size(toks).alias("n_tokens")]
+    inner = F.struct(
+        F.size(toks).alias("n_tokens"),
+        *[_run_stats(_ngrams(toks, n)).alias(f"st{n}") for n in ns],
+    )
+    once = _once(df, id_col, inner)
+    cols = [F.col("id"), F.col("x.n_tokens").alias("n_tokens")]
     for n in ns:
-        grams = _ngrams(toks, n)
-        st = _run_stats(grams)
-        total = F.size(grams)
-        cols.append(_frac(st["mx"], total).alias(f"top_{n}gram_frac"))
-        cols.append(_frac(st["dup"], total).alias(f"dup_{n}gram_frac"))
-    return df.select(*cols)
+        st = F.col(f"x.st{n}")
+        cols.append(_frac(st["mx"], st["cnt"]).alias(f"top_{n}gram_frac"))
+        cols.append(_frac(st["dup"], st["cnt"]).alias(f"dup_{n}gram_frac"))
+    return once.select(*cols)
 
 
 def line_repetition(
@@ -203,16 +248,13 @@ def line_repetition(
         F.transform(F.split(F.col(text_col), sep), lambda x: F.trim(x)),
         lambda x: F.length(x) > 0,
     )
-    st = _run_stats(lines, with_chars=True)
-    n = F.size(lines)
-    chars = F.aggregate(
-        F.transform(lines, F.length), F.lit(0), lambda a, v: a + v
-    )
-    return df.select(
-        F.col(id_col).alias("id"),
-        n.alias("n_lines"),
-        _frac(st["dup"], n).alias("dup_line_frac"),
-        _frac(st["dup_chars"], chars).alias("dup_line_char_frac"),
+    once = _once(df, id_col, _run_stats(lines, with_chars=True))
+    st = F.col("x")
+    return once.select(
+        "id",
+        st["cnt"].alias("n_lines"),
+        _frac(st["dup"], st["cnt"]).alias("dup_line_frac"),
+        _frac(st["dup_chars"], st["chars"]).alias("dup_line_char_frac"),
     )
 
 

@@ -944,3 +944,21 @@ class TestCuratePipeline:
             docs, "doc_id", "text", "lang", {"en": 1.0}
         )._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") == 1
+
+
+class TestTokenCountBpe:
+    def test_hand_counts(self, spark):
+        from sphinxsearchengine_spark.ops.textstats import token_count_bpe
+
+        df = spark.createDataFrame(
+            [
+                (1, "def f(x): return x+1"),
+                # def | f | ( | x | ): | return | x | + | 1 -> 9
+                (2, "hello world"),          # 2
+                (3, "v1.2.3"),               # v |1| . |2| . |3 -> 6
+                (4, ""),                     # 0
+            ],
+            "id long, text string",
+        )
+        got = {r.id: r.n_pieces for r in token_count_bpe(df, "id", "text").collect()}
+        assert got == {1: 9, 2: 2, 3: 6, 4: 0}
