@@ -724,6 +724,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "lang", "split")
     q["pipeline_curate"] = pipeline_curate
 
+    def pipeline_pack(spark, sf):
+        # sequence packing (training-batch assembly): deterministic
+        # hash-sharded next-fit — a custom applyInPandas operator whose
+        # exact oracle is a per-stream recursive CTE
+        from sphinxsearchengine_spark.ops.packing import pack_sequences
+
+        d = _t(spark, sf, "documents")
+        return pack_sequences(d, "doc_id", "text", budget=100, n_parts=8)
+    q["pipeline_pack"] = pipeline_pack
+
     def dedup_embedding_cosine(spark, sf):
         # embedding-cosine near-dup pairs (the vector-space dedup mode):
         # exact mode here — the O(n^2) self-join IS the oracle semantics;
@@ -1860,6 +1870,40 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN {_hsp} < {threshold_of(0.25)}::UHUGEINT
                     THEN 'test' ELSE 'train' END AS split
         FROM samp
+    """
+
+    # sequence packing: same hash shard (md5-low64 % 8, salt 'pack'),
+    # same next-fit recurrence — the sequential bin state is a linear
+    # recurrence over id-ordered rows, expressed as a recursive CTE
+    # stepping row_number per stream.
+    _hp = oracle_hash_expr("doc_id", "pack")
+    sql["pipeline_pack"] = f"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id,
+                 ({_hp} % 8)::INT AS part,
+                 len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> ''))::INT AS n_tokens
+          FROM documents
+        ),
+        o AS (
+          SELECT doc_id, part, n_tokens,
+                 row_number() OVER (PARTITION BY part ORDER BY doc_id) AS rn
+          FROM t
+        ),
+        r AS (
+          SELECT doc_id, part, n_tokens, rn,
+                 0 AS bin_id, n_tokens AS fill
+          FROM o WHERE rn = 1
+          UNION ALL
+          SELECT o.doc_id, o.part, o.n_tokens, o.rn,
+                 CASE WHEN r.fill + o.n_tokens > 100
+                      THEN r.bin_id + 1 ELSE r.bin_id END,
+                 CASE WHEN r.fill + o.n_tokens > 100
+                      THEN o.n_tokens ELSE r.fill + o.n_tokens END
+          FROM r JOIN o ON o.part = r.part AND o.rn = r.rn + 1
+        )
+        SELECT doc_id AS id, part, bin_id::INT AS bin_id, n_tokens
+        FROM r
     """
 
     # ---- engine-path oracles ------------------------------------------------

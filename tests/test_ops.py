@@ -962,3 +962,48 @@ class TestTokenCountBpe:
         )
         got = {r.id: r.n_pieces for r in token_count_bpe(df, "id", "text").collect()}
         assert got == {1: 9, 2: 2, 3: 6, 4: 0}
+
+
+class TestPackSequences:
+    def test_next_fit_semantics_single_stream(self, spark):
+        from sphinxsearchengine_spark.ops.packing import pack_sequences
+
+        # n_parts=1 -> one deterministic stream ordered by id
+        rows = [
+            (1, "a " * 6),    # 6 tokens -> bin 0 (fill 6)
+            (2, "b " * 3),    # 6+3 <= 10 -> bin 0 (fill 9)
+            (3, "c " * 2),    # 9+2 > 10 -> bin 1 (fill 2)
+            (4, "d " * 15),   # 2+15 > 10 -> bin 2 (oversized, alone)
+            (5, "e " * 1),    # 15+1 > 10 -> bin 3
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.id: (r.bin_id, r.n_tokens)
+            for r in pack_sequences(df, "doc_id", "text", budget=10,
+                                    n_parts=1).collect()
+        }
+        assert got == {1: (0, 6), 2: (0, 3), 3: (1, 2), 4: (2, 15),
+                       5: (3, 1)}
+
+    def test_deterministic_across_partitioning_and_budget_respected(
+        self, spark
+    ):
+        from sphinxsearchengine_spark.ops.packing import pack_sequences
+
+        rows = [(i, "tok " * (i % 37 + 1)) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = {(r.id, r.part, r.bin_id)
+             for r in pack_sequences(df, "doc_id", "text", 64).collect()}
+        b = {(r.id, r.part, r.bin_id)
+             for r in pack_sequences(df.repartition(13), "doc_id", "text",
+                                     64).collect()}
+        assert a == b  # content-hash streams, not Spark partitioning
+        # every multi-doc bin respects the budget
+        out = pack_sequences(df, "doc_id", "text", 64)
+        bad = (
+            out.groupBy("part", "bin_id")
+            .agg(F.sum("n_tokens").alias("s"), F.count("*").alias("c"))
+            .filter("s > 64 AND c > 1")
+            .count()
+        )
+        assert bad == 0
