@@ -212,6 +212,8 @@ def main() -> int:
         "stream_events_window",
         "rel_tpch_q3",
         "rel_tpch_q5",
+        "pipeline_pack",
+        "text_token_count_bpe",
     ]:
         spark.catalog.clearCache()
         t0 = time.time()
