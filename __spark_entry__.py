@@ -377,7 +377,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .trigger(availableNow=True)
             .start()
         )
-        query.awaitTermination(300)
+        if not query.awaitTermination(300):
+            # a stalled box would otherwise hand the gate a partially
+            # filled memory sink and fail the value hash with a
+            # confusing mismatch (ADVICE r5)
+            query.stop()
+            raise TimeoutError(
+                "stream_events_window: availableNow query did not finish "
+                "within 300 s"
+            )
         return spark.table(name).select(
             F.date_format("window_start", "yyyy-MM-dd HH:mm").alias(
                 "hour_start"
@@ -468,7 +476,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_term_stats"] = ft_term_stats
 
     def ft_match_and(spark, sf):  # Q1 keyword AND
-        tok = _tokens_df(spark, sf).filter(F.col("term").isin("spark", "join"))
+        # lossless substring pre-filter (r6): a doc with both exact
+        # TOKENS necessarily contains both SUBSTRINGS, and the final
+        # nt==2 gate re-checks exact tokens — so pruning the explode
+        # input with two cheap JVM contains() scans changes nothing
+        # about the result while the per-token explode+filter runs on
+        # ~10× fewer rows.
+        lt = F.lower(F.col("text"))
+        d = _t(spark, sf, "documents").filter(
+            lt.contains("spark") & lt.contains("join")
+        )
+        tok = (
+            d.select(
+                "doc_id",
+                F.explode(F.split(F.lower("text"), TOKEN_SPLIT)).alias("term"),
+            )
+            .filter(F.col("term").isin("spark", "join"))
+        )
         return (
             tok.groupBy("doc_id")
             .agg(F.countDistinct("term").alias("nt"))
@@ -491,9 +515,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ft_bm25_topk(spark, sf):  # Q7's BM25 factor, SQL-checkable profile
         from pyspark.sql import Window
 
-        tok = _tokens_df(spark, sf)
         n_docs = _t(spark, sf, "documents").count()
         terms = ["spark", "join"]
+        # lossless substring pre-filter (r6): every row of the tf set
+        # comes from a doc holding one of the exact tokens, which is a
+        # subset of the substring-OR match — the per-term df window and
+        # tf counts over the pre-filtered explode are bit-identical
+        # (unlike an AND filter, OR keeps single-term docs that df
+        # counts).  Prunes the explode input with one contains() scan.
+        lt = F.lower(F.col("text"))
+        d = _t(spark, sf, "documents").filter(
+            lt.contains("spark") | lt.contains("join")
+        )
+        tok = (
+            d.select(
+                "doc_id",
+                F.explode(F.split(F.lower("text"), TOKEN_SPLIT)).alias("term"),
+            )
+            .filter(F.col("term") != "")
+        )
         tf = (
             tok.filter(F.col("term").isin(terms))
             .groupBy("doc_id", "term")
@@ -1119,6 +1159,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["engine_lifecycle"] = engine_lifecycle
 
+    # --- driver CORRECTNESS window ordering (VERDICT r5 #1) ---------------
+    # The driver reports the first 50 queries() entries; r5's insertion
+    # order pushed all 10 engine contract gates (engine_tokenizer,
+    # engine_lifecycle, engine_prefix_ranked, ...) past position 50.
+    # Demote to the tail 10 rows whose SEMANTICS are already covered by
+    # other in-window gates, so every engine contract row sits inside
+    # the window.  All 60 entries stay declared with unchanged oracle
+    # SQL — only dict insertion order moves.
+    demoted = [
+        "rel_distinct",      # ⊂ rel_group_concat (collect_set DISTINCT)
+        "rel_semi_join",     # ⊂ rel_tpch_q3/q5 (semi-filter join shapes)
+        "rel_minmax",        # ⊂ rel_group_concat + rel_tpch_q1 aggregates
+        "text_token_count",  # ≡ text_quality.n_tokens (same expression)
+        "ft_match_or",       # ⊂ engine_field_limit ('101|202|303' OR path)
+        "ft_facet_lang",     # ⊂ engine_facet (the full Q13 facet gate)
+        "ft_attr_filter",    # ⊂ engine_category_match (Q6 filter + match)
+        "ft_term_stats",     # ⊂ engine_meta (Q12 per-keyword docs/hits)
+        "sample_stratified", # ⊂ pipeline_curate (quota sample stage)
+        "dedup_exact",       # ⊂ dedup_groups + curate keeper (digest agg)
+    ]
+    q = {
+        **{k: v for k, v in q.items() if k not in demoted},
+        **{k: q[k] for k in demoted},
+    }
     return q
 
 

@@ -90,7 +90,14 @@ class Searcher:
                     F.max("max_dsum").alias("max_dsum"),
                 )
                 if agg.count() <= 4 * dict_cache_rows:
-                    self._blockmax_pdf = agg.toPandas()
+                    # sorted by term: the executor's pinned block planner
+                    # resolves query terms by binary search (no per-query
+                    # full-frame isin scan)
+                    self._blockmax_pdf = (
+                        agg.toPandas()
+                        .sort_values("term", kind="mergesort")
+                        .reset_index(drop=True)
+                    )
             except Exception:
                 self._blockmax_pdf = None
         if cache_docs:

@@ -155,13 +155,17 @@ def ngram_jaccard_pairs(
 
     1. per-doc DISTINCT shingle-hash ARRAYS built batch-local in numpy
        (no explode shuffle for sizes — |set| is a column)
-    2. global shingle order = hash value — a TOTAL order, so the prefix
-       lemma applies: Jaccard(A,B) ≥ τ forces |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉,
+    2. global shingle order = (document frequency asc, hash asc) — the
+       canonical AllPairs ordering.  Any TOTAL order satisfies the
+       prefix lemma (Jaccard(A,B) ≥ τ forces |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉,
        hence the first |X|-⌈τ|X|⌉+1 ordered elements of BOTH sets must
-       share a shingle; the prefix is a per-row array slice (no window,
-       no df-rank shuffle)
-    3. candidate join runs on PREFIXES only — ~(1-τ) of each doc's
-       shingles enter the join, shrinking its output ~(1-τ)²
+       share a shingle); rarest-first makes the prefixes collide almost
+       only on genuinely shared rare shingles (the r5 hash order was
+       effectively random and went quadratic on small-vocabulary
+       corpora — 57.5M candidates for 2.5k true pairs at sf1.0)
+    3. candidate join runs on PREFIXES only, with the lossless PPJoin
+       length and positional filters applied per matched row before
+       the pair distinct
     4. exact verify per candidate pair: array_intersect of the two
        stored shingle sets (JVM-side), no per-shingle aggregation
 
@@ -172,9 +176,17 @@ def ngram_jaccard_pairs(
     of docs).  Pass None to disable (exact small-data mode).
     """
     cached = [base := _shingle_set_arrays(df, id_col, text_col, k).persist()]
+    n_docs = None
     if stop_shingle_df == "auto":
         n_docs = base.count()  # persisted — doubles as materialization
         stop_shingle_df = max(1000, n_docs // 1000)
+    # Per-shingle document frequency: drives BOTH the stop-shingle drop
+    # and the rarest-first prefix ordering below.
+    sh_df = (
+        base.select(F.explode("shs").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     if stop_shingle_df:
         # hot set stays executor-side as a broadcast single-row array
         # (bounded by total_occurrences/cap, which scales with the
@@ -182,10 +194,7 @@ def ngram_jaccard_pairs(
         # inlined it as an F.array literal, making the PLAN size
         # corpus-dependent (VERDICT r3 "what's wrong" #3)
         hot_arr = (
-            base.select(F.explode("shs").alias("s"))
-            .groupBy("s")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > stop_shingle_df)
+            sh_df.filter(F.col("df") > stop_shingle_df)
             .agg(F.collect_set("s").alias("hot"))
         )
         base = (
@@ -203,18 +212,55 @@ def ngram_jaccard_pairs(
         )
         cached.append(base)
 
-    # prefix = the first (n - ceil(τ·n) + 1) elements of the SORTED hash
-    # array — per-row slice, no shuffle.  Hash order is a total global
-    # order, so the prefix lemma applies directly.
+    # Prefix = the first (n - ceil(τ·n) + 1) elements in RAREST-FIRST
+    # (document frequency asc, shingle-hash asc) global order — the
+    # canonical AllPairs/PPJoin ordering.  The prefix lemma holds for
+    # ANY global total order; ordering by rarity makes prefixes hold
+    # each doc's rarest shingles, so the candidate self-join collides
+    # almost only on genuinely shared rare content.  (The r5 hash order
+    # was effectively random: at sf1.0 it produced 57.5M candidate
+    # pairs for 2,544 real ones, and the verify join moved two ~1 KB
+    # shingle arrays per candidate — 68 of 87 seconds.)
     prefix_len = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
-    ranked = base.select(
-        "id", F.explode(F.slice("shs", 1, prefix_len)).alias("s")
+    ranked = (
+        base.select("id", "n", F.explode("shs").alias("s"))
+        .join(sh_df, "s")
+        .groupBy("id", "n")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("rk"))
+        .select(
+            "id", "n",
+            F.posexplode(F.slice("rk", 1, prefix_len)).alias("p", "e"),
+        )
+        .select("id", "n", (F.col("p") + 1).alias("p"), F.col("e.s").alias("s"))
     )
     pa = ranked.alias("a")
     pb = ranked.alias("b")
+    # Lossless candidate filters (Bayardo'07 / Xiao'08), applied per
+    # matched prefix row BEFORE the distinct:
+    # - length: J ≥ τ ⟹ min(na,nb) ≥ τ·max(na,nb);
+    # - positional: all common elements sort ≥ the pair's first shared
+    #   prefix element, so |A∩B| ≤ 1 + min(na-pa, nb-pb); J ≥ τ needs
+    #   |A∩B| ≥ ⌈τ/(1+τ)·(na+nb)⌉.  A qualifying pair's first-shared-
+    #   element row always passes, so filtering rows never drops a true
+    #   pair.  The 1e-9 slack keeps float rounding from ever making the
+    #   bounds STRICTER than the exact rational ones (filters may only
+    #   be weaker, never lossy).
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("a.n") + F.col("b.n")) - F.lit(1e-9)
+    )
     cand = (
         pa.join(pb, "s")
         .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            (F.col("a.n") >= F.lit(threshold) * F.col("b.n") - F.lit(1e-9))
+            & (F.col("b.n") >= F.lit(threshold) * F.col("a.n") - F.lit(1e-9))
+        )
+        .filter(
+            1 + F.least(
+                F.col("a.n") - F.col("a.p"), F.col("b.n") - F.col("b.p")
+            ) >= alpha
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
@@ -224,6 +270,18 @@ def ngram_jaccard_pairs(
     vb = base.select(
         F.col("id").alias("id_b"), F.col("shs").alias("sb"), F.col("n").alias("nb")
     )
+    # Verify-join strategy (guide §3.1): mapInPandas output has no size
+    # stats, so the planner would default to sort-merge — sorting and
+    # re-shuffling every candidate row WITH its ~1 KB shingle array
+    # through the pair-keyed exchange (~19 GB at sf1.0, 68 of 87 s in
+    # r5).  When the doc count is known (auto mode) and provably small,
+    # broadcast the array table: candidates then stream through two
+    # hash probes and no array ever crosses an exchange.  Otherwise
+    # prefer shuffled-hash (no sort of the heavy side).
+    if n_docs is not None and n_docs <= 100_000:
+        va, vb = F.broadcast(va), F.broadcast(vb)
+    else:
+        va, vb = va.hint("shuffle_hash"), vb.hint("shuffle_hash")
     out = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -327,7 +385,12 @@ def minhash_signatures(
                 if hv.size:
                     red_idx = sh_start[has]
                     for i in range(num_hashes):
-                        v = (hv * a_param[i] + b_param[i]) % mers
+                        x = hv * a_param[i] + b_param[i]
+                        # x % (2^61-1) via the Mersenne identity
+                        # (2^61 ≡ 1): hi+lo, one conditional subtract —
+                        # exact, and ~2× faster than vector u64 division
+                        v = (x >> np.uint64(61)) + (x & mers)
+                        v = np.where(v >= mers, v - mers, v)
                         sigs[has, i] = np.minimum.reduceat(v, red_idx)
                 yield pd.DataFrame(
                     {
@@ -383,8 +446,14 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    # shuffled-hash, not sort-merge: the signature side is a cached
+    # mapInPandas output with no stats, so the planner would SMJ and
+    # sort every candidate row WITH its 512-byte signature array
+    # (guide §3.1 — same reasoning as the ngram verify join)
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")) \
+        .hint("shuffle_hash")
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")) \
+        .hint("shuffle_hash")
     # estimated Jaccard = fraction of equal signature slots (JVM-side expr)
     eq = F.expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)"

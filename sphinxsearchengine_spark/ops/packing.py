@@ -37,15 +37,30 @@ def pack_sequences(
     id_col: str,
     text_col: str,
     budget: int,
-    n_parts: int = 64,
+    n_parts: int | None = 64,
+    target_docs_per_part: int = 1_000_000,
 ) -> DataFrame:
     """(id, part, bin_id, n_tokens) — next-fit packing of documents
     into bins of at most ``budget`` tokens, within ``n_parts``
-    hash-sharded streams ordered by id."""
+    hash-sharded streams ordered by id.
+
+    MEMORY BOUND (VERDICT r5 #4): ``applyInPandas`` materializes one
+    whole part per task, so a part must fit executor memory — docs/part
+    ≈ corpus/n_parts.  ``n_parts`` is PART OF THE RESULT contract (the
+    same doc lands in the same (part, bin) forever), so it is never
+    auto-rescaled silently; pass ``n_parts=None`` to derive it once
+    from the corpus size (one count job; ceil(n_docs /
+    target_docs_per_part), min 1) when starting a NEW packing layout at
+    scale.  Callers pinning ``n_parts`` (the gate does) keep
+    bit-identical output."""
+    import math
+
     import pandas as pd  # noqa: PLC0415 — Arrow path only
 
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if n_parts is None:
+        n_parts = max(1, math.ceil(docs.count() / target_docs_per_part))
     part = (md5_low64_col(_key(id_col, PACK_SALT)) % n_parts).cast("int")
     base = docs.select(
         F.col(id_col).alias("id"),

@@ -141,11 +141,31 @@ def _expand_groups(spark, layout, query: Query, dict_pdf=None):
                 exact_terms.update(stem_token(w) for w in a.words)
 
     if dict_pdf is not None:
-        # driver-RAM dictionary (Searcher): no Spark job for expansion
-        mask = dict_pdf["term"].isin(list(exact_terms))
+        # driver-RAM dictionary (Searcher): no Spark job for expansion.
+        # The pinned frame is SORTED by term (engine.py), so exact terms
+        # and prefix ranges resolve by binary search — O(hits + log n)
+        # per query instead of the r5 full-frame isin + str.startswith
+        # scans (O(dict) Python-level string ops per query, ~1 s/query
+        # on a 1.5M-term sf1.0 dictionary).  Prefix semantics are the
+        # same [p, p+_MAX_CHAR) range the distributed path pushes into
+        # the dict scan.
+        terms_arr = dict_pdf["term"].to_numpy()
+        n_dict = len(terms_arr)
+        parts = []
+        for t in sorted(exact_terms):
+            i = int(np.searchsorted(terms_arr, t))
+            if i < n_dict and terms_arr[i] == t:
+                parts.append(np.array([i], dtype=np.int64))
         for p in sorted(prefixes):
-            mask |= dict_pdf["term"].str.startswith(p)
-        dic_pdf = dict_pdf[mask]
+            lo = int(np.searchsorted(terms_arr, p))
+            hi = int(np.searchsorted(terms_arr, p + _MAX_CHAR))
+            if hi > lo:
+                parts.append(np.arange(lo, hi, dtype=np.int64))
+        if parts:
+            idx = np.unique(np.concatenate(parts))
+            dic_pdf = dict_pdf.iloc[idx]
+        else:
+            dic_pdf = dict_pdf.iloc[:0]
     else:
         dic = _live_union(spark, layout, "dict")
         cond = F.col("term").isin(list(exact_terms)) if exact_terms else F.lit(False)
@@ -164,12 +184,20 @@ def _expand_groups(spark, layout, query: Query, dict_pdf=None):
             )
             .toPandas()
         )
+    # vectorized column pulls: itertuples costs ~200 ms on a wide-prefix
+    # expansion frame (111k rows for 'file_2*' at sf1.0)
+    _terms_c = dic_pdf["term"].to_numpy()
+    _cols = tuple(
+        dic_pdf[c].to_numpy()
+        for c in ("df", "hits", "max_tf", "exact_df", "exact_hits")
+    )
     stats = {
-        r.term: (int(r.df), int(r.hits), int(r.max_tf), int(r.exact_df),
-                 int(r.exact_hits))
-        for r in dic_pdf.itertuples(index=False)
+        t: (int(a), int(b), int(c), int(d), int(e))
+        for t, a, b, c, d, e in zip(_terms_c, *_cols)
     }
-    bucket_of = {r.term: int(r.bucket) for r in dic_pdf.itertuples(index=False)}
+    bucket_of = dict(
+        zip(_terms_c, (int(b) for b in dic_pdf["bucket"].to_numpy()))
+    )
 
     n_docs = layout.meta.n_docs
     nk = len(query.groups)
@@ -193,15 +221,30 @@ def _expand_groups(spark, layout, query: Query, dict_pdf=None):
         else:
             add(EXACT_PREFIX + w, gid, 0, -1, fld, uex=0)
 
+    # sorted snapshot of the matched terms: prefix expansion resolves
+    # per prefix by binary search + a top-k scan in df-desc order,
+    # instead of a Python startswith pass over every matched term
+    _stat_terms = np.asarray(sorted(stats), dtype=object)
+    _stat_dfs = np.asarray([stats[t][0] for t in _stat_terms], dtype=np.int64)
+
     def prefix_expand(w: str, exclude: set[str]) -> list[str]:
         """Top-EXPANSION_LIMIT most-frequent dict terms with prefix w
         (deterministic: df desc, term asc) — Sphinx expansion_limit."""
-        cand = [
-            t for t in stats
-            if t.startswith(w) and not t.startswith(EXACT_PREFIX) and t not in exclude
-        ]
-        cand.sort(key=lambda t: (-stats[t][0], t))
-        return cand[:EXPANSION_LIMIT]
+        lo = int(np.searchsorted(_stat_terms, w))
+        hi = int(np.searchsorted(_stat_terms, w + _MAX_CHAR))
+        if hi <= lo:
+            return []
+        sl = _stat_terms[lo:hi]
+        order = np.lexsort((sl, -_stat_dfs[lo:hi]))
+        out: list[str] = []
+        for j in order:
+            t = sl[j]
+            if t in exclude or t.startswith(EXACT_PREFIX):
+                continue
+            out.append(t)
+            if len(out) >= EXPANSION_LIMIT:
+                break
+        return out
 
     for gid, g in enumerate(query.groups):
         pid = 0
@@ -352,11 +395,22 @@ def _plan_blocks(spark, layout, map_df, mapping, stats, buckets,
     if min_df > BLOCK_PLAN_CAP:
         return None, info
     if bmx_pdf is not None:
-        terms = {m[0] for m in mapping}
-        pdf = _plan_blocks_pandas(
-            bmx_pdf[bmx_pdf["term"].isin(terms)], mapping, n_groups,
-            phrase_alts, now_ts,
+        # the pinned blockmax frame is SORTED by term (engine.py): each
+        # query term resolves to a row range by binary search — the r5
+        # full-frame isin cost O(blockmax rows) of Python string
+        # hashing per query (~0.4 s on the sf1.0 table)
+        bm_terms = bmx_pdf["term"].to_numpy()
+        parts = []
+        for t in sorted({m[0] for m in mapping}):
+            lo = int(np.searchsorted(bm_terms, t, side="left"))
+            hi = int(np.searchsorted(bm_terms, t, side="right"))
+            if hi > lo:
+                parts.append(np.arange(lo, hi, dtype=np.int64))
+        sub = (
+            bmx_pdf.iloc[np.concatenate(parts)]
+            if parts else bmx_pdf.iloc[:0]
         )
+        pdf = _plan_blocks_pandas(sub, mapping, n_groups, phrase_alts, now_ts)
         info.update(planned=True, n_blocks=len(pdf), driver_ram=True)
         return pdf, info
     try:
@@ -793,10 +847,24 @@ def score_matches(
         len(query.groups), phrase_alts, now_ts, weights_by_fid, prune,
         max_score_val, match_only,
     )
-    shuffle_n = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
     shift = meta.block_shift
+    shuffle_n = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    # ~rows of scorer input per task: the scorer is numpy-vectorized, so
+    # per-task fixed cost (Python worker round-trip, Arrow framing)
+    # dominates below this; above it, parallelism wins.
+    score_rows_per_task = 25_000
 
-    def run(blks) -> DataFrame:
+    def _nparts(est_rows) -> int:
+        """Scorer exchange width from the block plan's own cap metadata
+        (guide §2: derive partitioning from the data size, don't pin the
+        local core count).  A pruned scan of a few hundred postings rows
+        gets 1 task instead of shuffle_n Python worker spins; a broad
+        scan keeps full parallelism."""
+        if est_rows is None:
+            return shuffle_n
+        return max(1, min(shuffle_n, -(-int(est_rows) // score_rows_per_task)))
+
+    def run(blks, est_rows=None) -> DataFrame:
         """Score the (optionally block-restricted) postings scan."""
         p = post
         if blks is not None:
@@ -825,7 +893,7 @@ def score_matches(
                 "docid", "term", "gid", "idf", "is_pm", "midx", "pid", "field",
                 "tf", "uex", "pos_vb", "lang", "date_insert", "date_modify",
             )
-            .repartition(shuffle_n, "docid")
+            .repartition(_nparts(est_rows), "docid")
             .mapInPandas(scorer, schema=SCORED_SCHEMA)
         )
 
@@ -863,11 +931,16 @@ def score_matches(
         plan = blk_plan.sort_values("ub", ascending=False, kind="mergesort")
         csum = plan["cap"].to_numpy().cumsum()
         take = int(np.searchsorted(csum, max(4 * k_, 256))) + 1
+        n_map = max(len(mapping), 1)
         if take >= len(plan):
-            return run(plan["blk"].to_numpy())
+            return run(plan["blk"].to_numpy(),
+                       est_rows=int(plan["cap"].sum()) * n_map)
         pass_a = plan.iloc[:take]
         rest = plan.iloc[take:]
-        scored_a = run(pass_a["blk"].to_numpy()).localCheckpoint()
+        scored_a = run(
+            pass_a["blk"].to_numpy(),
+            est_rows=int(pass_a["cap"].sum()) * n_map,
+        ).localCheckpoint()
         top_a = (
             scored_a.select("weight_raw")
             .orderBy(F.col("weight_raw").desc())
@@ -893,11 +966,17 @@ def score_matches(
                     "left_anti",
                 )
             )
-        return scored_a.unionByName(run(rest["blk"].to_numpy()))
+        return scored_a.unionByName(
+            run(rest["blk"].to_numpy(),
+                est_rows=int(rest["cap"].sum()) * n_map)
+        )
     # presence-only filtering: skip when nearly every block survives
     if len(blk_plan) >= 0.7 * occupied:
         return run(None)
-    return run(blk_plan["blk"].to_numpy())
+    return run(
+        blk_plan["blk"].to_numpy(),
+        est_rows=int(blk_plan["cap"].sum()) * max(len(mapping), 1),
+    )
 
 
 _ORDER_COLS = {"weight": "weight_raw", "date_insert": "date_insert",

@@ -168,6 +168,13 @@ def sessionize_stream(
             elif t - last > gap:
                 closed.append((start, last, n))
                 start, last, n = t, t, 1
+            elif t <= last:
+                # allowed-late row (admitted by the watermark) older than
+                # the open session's last event: clamp instead of
+                # rewinding `last` — a rewound `last` could spuriously
+                # split the session or emit a wrong session_end on the
+                # next batch (ADVICE r5)
+                start, n = min(start, t), n + 1
             else:
                 last, n = t, n + 1
         if last is not None:

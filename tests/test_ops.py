@@ -809,13 +809,25 @@ class TestRepetitionStats:
         assert got[3] == (3, 0, 0.0, 0.0)  # whitespace-only -> no lines
 
     def test_ngram_repetition_plan_is_narrow(self, spark):
-        # zero-shuffle contract: no Exchange, no Python in the plan
+        # zero-shuffle contract: no Exchange; exactly ONE vectorized
+        # counting pass (the r6 mapInPandas rewrite — guide §4.2) feeds
+        # the JVM fraction arithmetic
         from sphinxsearchengine_spark.ops.textstats import ngram_repetition
 
         df = spark.createDataFrame([(1, "a b c")], "id long, text string")
         plan = ngram_repetition(df, "id", "text")._jdf.queryExecution() \
             .executedPlan().toString()
-        assert "Exchange" not in plan and "Python" not in plan
+        assert "Exchange" not in plan
+        assert plan.count("MapInPandas") == 1
+
+    def test_ngram_repetition_null_text_zero_row(self, spark):
+        # NULL text must produce the 0/0.0 row the DuckDB oracle's
+        # LEFT JOIN + coalesce emits (ADVICE r5)
+        from sphinxsearchengine_spark.ops.textstats import ngram_repetition
+
+        df = spark.createDataFrame([(1, None)], "id long, text string")
+        (row,) = ngram_repetition(df, "id", "text").collect()
+        assert tuple(row) == (1, 0, 0.0, 0.0, 0.0, 0.0)
 
 
 class TestDecontaminate:
@@ -844,13 +856,19 @@ class TestDecontaminate:
         rows = decontaminate(docs, bench, "id", "text", n=2).collect()
         assert [(r.n_hits, r.contaminated) for r in rows] == [(0, 0)]
 
-    def test_bench_side_is_broadcast(self, spark):
+    def test_corpus_side_is_one_narrow_pass(self, spark):
+        # scale contract (r6): the corpus side is ONE vectorized probe
+        # pass against the broadcast bench-gram set — no explode, no
+        # join, no shuffle anywhere in the corpus-side plan (the r5
+        # explode + broadcast-hash join + groupBy shape cost 47.8 s vs
+        # 4.2 s at sf1.0 for identical output)
         from sphinxsearchengine_spark.ops.decontam import decontaminate
 
         docs = spark.createDataFrame([(1, "a b c")], "id long, text string")
         plan = decontaminate(docs, docs, "id", "text", n=2)._jdf \
             .queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" in plan
+        assert "Exchange" not in plan and "Join" not in plan
+        assert plan.count("MapInPandas") == 1
 
 
 class TestScrubPii:
@@ -929,21 +947,26 @@ class TestCuratePipeline:
             docs, "doc_id", "text", "lang", {"en": 1.0}
         ).count() == 1
 
-    def test_curate_plan_single_exchange_without_bench(self, spark):
-        # scale contract: quality filter + window-keeper dedup + the two
-        # hash predicates cost exactly ONE exchange (the md5 window);
-        # a groupBy+join-back dedup shape would show three
-        from sphinxsearchengine_spark.ops.pipeline import curate
+    def test_keeper_stage_has_partial_aggregation(self, spark):
+        # skew contract (VERDICT r5 #3): the exact-dedup keeper is a
+        # groupBy(digest).agg(min(id)) — a PARTIAL HashAggregate must
+        # sit below the exchange so every partition's copies of a viral
+        # duplicate collapse map-side (the r5 row_number() window sent
+        # all copies of one digest to a single reducer, no partial agg)
+        from sphinxsearchengine_spark.ops.pipeline import _keeper_ids
 
         docs = spark.createDataFrame(
             [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa",
               "en")],
             "doc_id long, text string, lang string",
         )
-        plan = curate(
-            docs, "doc_id", "text", "lang", {"en": 1.0}
-        )._jdf.queryExecution().executedPlan().toString()
+        plan = _keeper_ids(docs, "doc_id", "text")._jdf.queryExecution() \
+            .executedPlan().toString()
         assert plan.count("Exchange") == 1
+        # partial agg below the exchange, final above it
+        pre_exchange = plan.split("Exchange")[-1]
+        assert "HashAggregate" in pre_exchange
+        assert "Window" not in plan and "row_number" not in plan
 
 
 class TestTokenCountBpe:

@@ -235,7 +235,7 @@ def test_sessionize_stream_matches_batch_semantics(spark, tmp_path):
     }
 
 
-def test_windowed_event_counts_batch_parity(spark, sf_events=None):
+def test_windowed_event_counts_batch_parity(spark):
     """The same transform on a BATCH DataFrame equals a plain window
     agg (watermark is a no-op) — stream/batch unification."""
     from sphinxsearchengine_spark.streaming import windowed_event_counts
