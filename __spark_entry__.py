@@ -482,9 +482,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # input with two cheap JVM contains() scans changes nothing
         # about the result while the per-token explode+filter runs on
         # ~10× fewer rows.
+        from sphinxsearchengine_spark.ops.scanwidth import widen_scan
+
         lt = F.lower(F.col("text"))
-        d = _t(spark, sf, "documents").filter(
-            lt.contains("spark") & lt.contains("join")
+        d = widen_scan(  # 2-split small-file scan -> full parallelism
+            _t(spark, sf, "documents")
+            .filter(lt.contains("spark") & lt.contains("join"))
+            .select("doc_id", "text")
         )
         tok = (
             d.select(
@@ -523,9 +527,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tf counts over the pre-filtered explode are bit-identical
         # (unlike an AND filter, OR keeps single-term docs that df
         # counts).  Prunes the explode input with one contains() scan.
+        from sphinxsearchengine_spark.ops.scanwidth import widen_scan
+
         lt = F.lower(F.col("text"))
-        d = _t(spark, sf, "documents").filter(
-            lt.contains("spark") | lt.contains("join")
+        d = widen_scan(  # 2-split small-file scan -> full parallelism
+            _t(spark, sf, "documents")
+            .filter(lt.contains("spark") | lt.contains("join"))
+            .select("doc_id", "text")
         )
         tok = (
             d.select(

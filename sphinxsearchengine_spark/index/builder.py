@@ -217,6 +217,7 @@ def _field_postings(texts, docids, langs, dis, dms, fid):
         "term": np.empty(0, object), "field": np.empty(0, np.int32),
         "docid": np.empty(0, np.int64), "tf": np.empty(0, np.int32),
         "exact_tf": np.empty(0, np.int32), "pos_vb": [],
+        "pos_len": np.empty(0, np.int64),
         "lang": np.empty(0, object), "date_insert": np.empty(0, np.int64),
         "date_modify": np.empty(0, np.int64),
     }
@@ -287,6 +288,7 @@ def _field_postings(texts, docids, langs, dis, dms, fid):
         "tf": glens.astype(np.int32),
         "exact_tf": np.add.reduceat(e_s, starts).astype(np.int32),
         "pos_vb": pos_vb,
+        "pos_len": gb_len,  # known here — saves a 2.4M len() pass downstream
         "lang": langs[gdoc],
         "date_insert": dis[gdoc],
         "date_modify": dms[gdoc],
@@ -304,8 +306,8 @@ def _batch_postings_columns(pdf):
     dis = pdf["date_insert"].to_numpy(dtype=np.int64)
     dms = pdf["date_modify"].to_numpy(dtype=np.int64)
     cols = {k: [] for k in (
-        "term", "field", "docid", "tf", "exact_tf", "pos_vb", "lang",
-        "date_insert", "date_modify",
+        "term", "field", "docid", "tf", "exact_tf", "pos_vb", "pos_len",
+        "lang", "date_insert", "date_modify",
     )}
     for fname in FIELD_NAMES:
         texts = pdf[_FIELD_SOURCE[fname]].tolist()
@@ -791,7 +793,7 @@ def build_segment(
                 # sort is needed (far fewer, fatter rows)
                 from sphinxsearchengine_spark.index import packed as _packed
 
-                tok = tok_src.mapInPandas(
+                tok = tok_src.mapInArrow(
                     _packed.packed_tokenize(nb, salt_factor),
                     schema=_packed.PACKED_SCHEMA,
                 )

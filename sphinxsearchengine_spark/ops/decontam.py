@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .textstats import TOKEN_SPLIT, _ngrams, _tokens
+from .scanwidth import widen_scan
 
 
 def _count_batches(n: int, bench_bc):
@@ -109,8 +110,8 @@ def decontaminate(
     gram_set = frozenset(r[0] for r in bench_grams.collect())
     bench_bc = docs.sparkSession.sparkContext.broadcast(gram_set)
 
-    out = docs.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    out = widen_scan(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     ).mapInPandas(
         _count_batches(n, bench_bc), schema="id long, n_ngrams long, n_hits long"
     )

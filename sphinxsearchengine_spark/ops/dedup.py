@@ -32,6 +32,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from .scanwidth import widen_scan
+
 TOKEN_SPLIT = "[^a-z0-9]+"
 
 # deterministic 64-bit MinHash parameters (fixed seed — no wall clock)
@@ -140,7 +142,9 @@ def _shingle_set_arrays(
         finally:
             np.seterr(**err)
 
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    src = widen_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    )
     return src.mapInPandas(batches, schema="id long, shs array<long>, n int")
 
 
@@ -181,12 +185,17 @@ def ngram_jaccard_pairs(
         n_docs = base.count()  # persisted — doubles as materialization
         stop_shingle_df = max(1000, n_docs // 1000)
     # Per-shingle document frequency: drives BOTH the stop-shingle drop
-    # and the rarest-first prefix ordering below.
+    # and the rarest-first prefix ordering below.  Persisted: it feeds
+    # the hot-set aggregate AND both sides of the prefix self-join, and
+    # the static plan otherwise re-runs the explode+groupBy per branch
+    # (r6 plan audit: 3 evaluations).
     sh_df = (
         base.select(F.explode("shs").alias("s"))
         .groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
+        .persist()
     )
+    cached.append(sh_df)
     if stop_shingle_df:
         # hot set stays executor-side as a broadcast single-row array
         # (bounded by total_occurrences/cap, which scales with the
@@ -232,7 +241,10 @@ def ngram_jaccard_pairs(
             F.posexplode(F.slice("rk", 1, prefix_len)).alias("p", "e"),
         )
         .select("id", "n", (F.col("p") + 1).alias("p"), F.col("e.s").alias("s"))
+        .persist()  # both sides of the self-join read it (else the
+        # whole explode+join+collect_list+posexplode subtree runs twice)
     )
+    cached.append(ranked)
     pa = ranked.alias("a")
     pb = ranked.alias("b")
     # Lossless candidate filters (Bayardo'07 / Xiao'08), applied per
@@ -401,7 +413,9 @@ def minhash_signatures(
         finally:
             np.seterr(**err)
 
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    src = widen_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    )
     return src.mapInPandas(sig_batch, schema="id long, sig array<long>")
 
 
@@ -629,7 +643,9 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 }
             )
 
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    src = widen_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    )
     return src.mapInPandas(sim_batch, schema="id long, simhash long")
 
 

@@ -36,10 +36,12 @@ def _keeper_ids(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (min id) of their exact-content (md5) group.  Kept lazy so
     tests/test_plans.py can assert the partial-aggregation shape; curate
     checkpoints it."""
+    from .scanwidth import widen_scan
     from .textstats import quality_flag
 
     return (
-        docs.filter(quality_flag(text_col))
+        widen_scan(docs.select(id_col, text_col))
+        .filter(quality_flag(text_col))
         .select(F.md5(F.col(text_col)).alias("__kdig"), F.col(id_col))
         .groupBy("__kdig")
         .agg(F.min(id_col).alias("__kid"))

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .scanwidth import widen_scan
+
 TOKEN_SPLIT = "[^a-z0-9]+"
 
 STOPWORDS = [
@@ -31,6 +33,7 @@ def _tokens(col):
 
 def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, n_tokens) — whitespace/punct regex tokenization."""
+    df = widen_scan(df.select(id_col, text_col))
     return df.select(
         F.col(id_col).alias("id"), F.size(_tokens(F.col(text_col))).alias("n_tokens")
     )
@@ -60,7 +63,9 @@ BPE_PIECE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 def token_count_bpe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, n_pieces) — BPE-ish piece count via one JVM regexp_count
-    (narrow plan, zero shuffle)."""
+    (narrow plan; a small input is widened to full parallelism
+    first — scanwidth.py)."""
+    df = widen_scan(df.select(id_col, text_col))
     return df.select(
         F.col(id_col).alias("id"),
         F.regexp_count(F.col(text_col), F.lit(BPE_PIECE_PATTERN)).alias(
@@ -85,7 +90,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     output column (~13 evaluations per row, r6 plan audit).  Barrier 1
     materializes the token array once; barrier 2 materializes the three
     stats so the aggregate/filter scans over it also run once each."""
-    once = df.select(
+    once = widen_scan(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.explode(F.array(_tokens(F.col(text_col)))).alias("toks"),
     )
@@ -134,6 +139,7 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         for lang, m in sorted(LANG_MARKERS.items())
     ]
     best = F.array_max(F.array(*scores))
+    df = widen_scan(df.select(id_col, text_col))
     return df.select(
         F.col(id_col).alias("id"),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
@@ -361,7 +367,9 @@ def ngram_repetition(
     schema = "id long, n_tokens int" + "".join(
         f", cnt{n} int, mx{n} int, dup{n} int" for n in ns
     )
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    src = widen_scan(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    )
     counted = src.mapInPandas(_ngram_count_batches(ns), schema=schema)
     cols = [F.col("id"), F.col("n_tokens")]
     for n in ns:
@@ -396,7 +404,10 @@ def line_repetition(
         ),
         lambda x: F.length(x) > 0,
     )
-    once = _once(df, id_col, _run_stats(lines, with_chars=True))
+    once = _once(
+        widen_scan(df.select(id_col, text_col)), id_col,
+        _run_stats(lines, with_chars=True),
+    )
     st = F.col("x")
     return once.select(
         "id",
@@ -423,4 +434,5 @@ def fingerprint(
         fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
     else:
         fp = F.array_min(F.transform(sh, lambda s: F.xxhash64(s)))
+    df = widen_scan(df.select(id_col, text_col))
     return df.select(F.col(id_col).alias("id"), fp.alias("fp"))

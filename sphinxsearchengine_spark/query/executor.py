@@ -163,9 +163,21 @@ def _expand_groups(spark, layout, query: Query, dict_pdf=None):
                 parts.append(np.arange(lo, hi, dtype=np.int64))
         if parts:
             idx = np.unique(np.concatenate(parts))
-            dic_pdf = dict_pdf.iloc[idx]
         else:
-            dic_pdf = dict_pdf.iloc[:0]
+            idx = np.empty(0, dtype=np.int64)
+        # matched slice as SORTED numpy columns (dict_pdf is term-sorted
+        # and idx ascending preserves that) — no pandas frame and no
+        # Python dict over the full match set: a wide prefix matches
+        # 111k terms at sf1.0 but contributes at most EXPANSION_LIMIT
+        # rows to the query, so per-term stats entries are seeded lazily
+        # for the terms actually selected (r6: the eager dict build cost
+        # 1.2 s of driver time per '@title file_2*' query).
+        _terms_c = terms_arr[idx]
+        _cols = tuple(
+            dict_pdf[c].to_numpy()[idx]
+            for c in ("df", "hits", "max_tf", "exact_df", "exact_hits")
+        )
+        _bucket_c = dict_pdf["bucket"].to_numpy()[idx]
     else:
         dic = _live_union(spark, layout, "dict")
         cond = F.col("term").isin(list(exact_terms)) if exact_terms else F.lit(False)
@@ -183,21 +195,31 @@ def _expand_groups(spark, layout, query: Query, dict_pdf=None):
                 F.first("bucket").alias("bucket"),
             )
             .toPandas()
+            .sort_values("term")  # the lazy-lookup arrays below assume
+            .reset_index(drop=True)  # term-sorted order (binary search)
         )
-    # vectorized column pulls: itertuples costs ~200 ms on a wide-prefix
-    # expansion frame (111k rows for 'file_2*' at sf1.0)
-    _terms_c = dic_pdf["term"].to_numpy()
-    _cols = tuple(
-        dic_pdf[c].to_numpy()
-        for c in ("df", "hits", "max_tf", "exact_df", "exact_hits")
-    )
-    stats = {
-        t: (int(a), int(b), int(c), int(d), int(e))
-        for t, a, b, c, d, e in zip(_terms_c, *_cols)
-    }
-    bucket_of = dict(
-        zip(_terms_c, (int(b) for b in dic_pdf["bucket"].to_numpy()))
-    )
+        _terms_c = dic_pdf["term"].to_numpy()
+        _cols = tuple(
+            dic_pdf[c].to_numpy()
+            for c in ("df", "hits", "max_tf", "exact_df", "exact_hits")
+        )
+        _bucket_c = dic_pdf["bucket"].to_numpy()
+    n_match = len(_terms_c)
+
+    stats: dict[str, tuple] = {}
+    bucket_of: dict[str, int] = {}
+
+    def _seed(term: str) -> bool:
+        """Materialize the stats/bucket entry for one term (binary
+        search into the sorted matched slice); True iff present."""
+        if term in stats:
+            return True
+        i = int(np.searchsorted(_terms_c, term))
+        if i < n_match and _terms_c[i] == term:
+            stats[term] = tuple(int(c[i]) for c in _cols)
+            bucket_of[term] = int(_bucket_c[i])
+            return True
+        return False
 
     n_docs = layout.meta.n_docs
     nk = len(query.groups)
@@ -205,7 +227,7 @@ def _expand_groups(spark, layout, query: Query, dict_pdf=None):
 
     def add(term: str, gid: int, is_pm: int, midx: int, fld: int,
             uex: int = 0, pid: int = -1):
-        if term in stats:
+        if _seed(term):
             df_ = stats[term][3] if uex else stats[term][0]
             if df_ <= 0:
                 return
@@ -221,20 +243,16 @@ def _expand_groups(spark, layout, query: Query, dict_pdf=None):
         else:
             add(EXACT_PREFIX + w, gid, 0, -1, fld, uex=0)
 
-    # sorted snapshot of the matched terms: prefix expansion resolves
-    # per prefix by binary search + a top-k scan in df-desc order,
-    # instead of a Python startswith pass over every matched term
-    _stat_terms = np.asarray(sorted(stats), dtype=object)
-    _stat_dfs = np.asarray([stats[t][0] for t in _stat_terms], dtype=np.int64)
+    _stat_dfs = _cols[0]
 
     def prefix_expand(w: str, exclude: set[str]) -> list[str]:
         """Top-EXPANSION_LIMIT most-frequent dict terms with prefix w
         (deterministic: df desc, term asc) — Sphinx expansion_limit."""
-        lo = int(np.searchsorted(_stat_terms, w))
-        hi = int(np.searchsorted(_stat_terms, w + _MAX_CHAR))
+        lo = int(np.searchsorted(_terms_c, w))
+        hi = int(np.searchsorted(_terms_c, w + _MAX_CHAR))
         if hi <= lo:
             return []
-        sl = _stat_terms[lo:hi]
+        sl = _terms_c[lo:hi]
         order = np.lexsort((sl, -_stat_dfs[lo:hi]))
         out: list[str] = []
         for j in order:
@@ -259,6 +277,11 @@ def _expand_groups(spark, layout, query: Query, dict_pdf=None):
             elif a.kind == "exact":
                 add_exact(a.words[0], gid, g.field)
             elif a.kind == "prefix":
+                # seed the bare word's stats row (if matched) so meta /
+                # suggest keyword lookups see it even when it is not
+                # among the top-EXPANSION_LIMIT expansions — parity with
+                # the r5 eager stats dict over the full match set
+                _seed(stem_token(a.words[0]))
                 for t in prefix_expand(a.words[0], set()):
                     add(t, gid, 0, -1, g.field)
             else:
@@ -639,7 +662,7 @@ def _make_scorer(n_groups: int, phrase_alts: dict[int, dict[int, int]],
         # one row) — they are distinct scoring keywords, so uex is a key.
         if not match_only:
             per_term = (
-                pdf.groupby(["docid", "gid", "term", "uex"], sort=False)
+                pdf.groupby(["docid", "gid", "tid", "uex"], sort=False)
                 .agg(tfd=("tf", "sum"), idf=("idf", "first"))
                 .reset_index()
             )
@@ -812,10 +835,14 @@ def score_matches(
         return spark.createDataFrame([], SCORED_SCHEMA)
 
     terms = sorted({m[0] for m in mapping})
+    # tid: dense int id per term — the scorer's per-term BM25 groupby
+    # key, so the term STRING never crosses the Python boundary (Arrow
+    # framing + pandas object-key hashing of ~1M rows per hot query)
+    _tid = {t: i for i, t in enumerate(terms)}
     map_df = spark.createDataFrame(
-        mapping,
+        [m + (_tid[m[0]],) for m in mapping],
         "term string, gid int, idf double, is_pm int, midx int, fld int, "
-        "uex int, pid int",
+        "uex int, pid int, tid int",
     )
 
     post = _live_union(spark, layout, "postings")
@@ -880,20 +907,47 @@ def score_matches(
                     .join(F.broadcast(bdf), F.col("_blk") == bdf.blk, "left_semi")
                     .drop("_blk")
                 )
-        c = p.join(F.broadcast(map_df), "term")
+        # Driver-derived SUPERSET pre-filters, then exchange, then the
+        # mapping join AFTER the exchange (guide §2.3/§8: decide with
+        # small metadata, move heavy bytes once).  A term matched by
+        # several mapping rows — the common kw case is stem + exact-form
+        # (uex) — used to be duplicated by the join BEFORE the docid
+        # exchange, doubling the shuffled pos_vb payload; the broadcast
+        # join is narrow, so joining after the exchange duplicates rows
+        # in-stage at zero shuffle cost.  The pre-filters keep every
+        # pre-shuffle row drop the old join order performed:
+        flds = {m[5] for m in mapping}
+        if -1 not in flds:
+            # field-limited query: only mapped fields can survive
+            p = p.filter(F.col("field").isin(sorted(flds)))
+        all_terms = {m[0] for m in mapping}
+        non_uex_terms = {m[0] for m in mapping if m[6] == 0}
+        if len(non_uex_terms) < len(all_terms):
+            # some term matches ONLY via its exact form: rows without an
+            # exact occurrence can never survive its uex mapping
+            cond = F.col("exact_tf") > 0
+            if non_uex_terms:
+                cond = cond | F.col("term").isin(sorted(non_uex_terms))
+            p = p.filter(cond)
+        c = (
+            p.select(
+                "docid", "term", "field", "tf", "exact_tf", "pos_vb",
+                "lang", "date_insert", "date_modify",
+            )
+            .repartition(_nparts(est_rows), "docid")
+            .join(F.broadcast(map_df), "term")
+        )
         c = c.filter((F.col("fld") == -1) | (F.col("field") == F.col("fld")))
         # uex rows score on exact_tf (surface==term occurrences) — rows
-        # with no exact occurrence are non-matches for that expansion and
-        # are dropped JVM-side before the shuffle.
+        # with no exact occurrence are non-matches for that expansion.
         c = c.withColumn(
             "tf", F.when(F.col("uex") == 1, F.col("exact_tf")).otherwise(F.col("tf"))
         ).filter(F.col("tf") > 0)
         return (
             c.select(
-                "docid", "term", "gid", "idf", "is_pm", "midx", "pid", "field",
+                "docid", "tid", "gid", "idf", "is_pm", "midx", "pid", "field",
                 "tf", "uex", "pos_vb", "lang", "date_insert", "date_modify",
             )
-            .repartition(_nparts(est_rows), "docid")
             .mapInPandas(scorer, schema=SCORED_SCHEMA)
         )
 

@@ -12,9 +12,11 @@ from sphinxsearchengine_spark import codec
 from sphinxsearchengine_spark.query import ranker
 
 
-def _kw_row(docid=1, term="foo", gid=0, field=0, positions=(1,)):
+def _kw_row(docid=1, tid=0, gid=0, field=0, positions=(1,)):
+    # r6: the scorer input carries a dense int term id (tid) instead of
+    # the term string — the string never crosses the Python boundary
     return {
-        "docid": docid, "term": term, "gid": gid, "idf": 0.1,
+        "docid": docid, "tid": tid, "gid": gid, "idf": 0.1,
         "is_pm": 0, "midx": -1, "pid": -1, "field": field,
         "tf": len(positions), "uex": 0,
         "pos_vb": codec.delta_encode_small(list(positions)),
