@@ -102,9 +102,10 @@ def decontaminate(
     """
     bench_text = bench_text_col or text_col
     bench_grams = (
-        bench.select(
-            F.explode(_ngrams(_tokens(F.col(bench_text)), n)).alias("gram")
-        )
+        widen_scan(bench.select(bench_text))  # the bench table is small
+        # but its scan still bins to ~2 splits; the O(len²) HOF gram
+        # build is the dominant per-row cost, so spread it
+        .select(F.explode(_ngrams(_tokens(F.col(bench_text)), n)).alias("gram"))
         .distinct()
     )
     gram_set = frozenset(r[0] for r in bench_grams.collect())

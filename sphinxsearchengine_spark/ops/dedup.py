@@ -245,10 +245,28 @@ def ngram_jaccard_pairs(
         # whole explode+join+collect_list+posexplode subtree runs twice)
     )
     cached.append(ranked)
-    pa = ranked.alias("a")
-    pb = ranked.alias("b")
+    # Asymmetric prefixes (PPJoin, Xiao et al. WWW'08 §3.2): order docs
+    # canonically by (n, id); a qualifying pair's first shared shingle
+    # (global rarest-first order) lies within the full τ-PROBING prefix
+    # of the larger element AND within the shorter INDEXING prefix
+    # (n − ⌈2τ/(1+τ)·n⌉ + 1 elements) of the smaller, because the
+    # overlap bound α = ⌈τ/(1+τ)(na+nb)⌉ ≥ ⌈2τ/(1+τ)·n_small⌉.  The
+    # index side is ~1/3·n instead of ~1/2·n at τ=0.5 — ~35% fewer
+    # candidate rows for identical output (r6; join-row measured
+    # 17.0M → 11.5M at the sf1.0 replica).
+    idx_len = (
+        F.col("n")
+        - F.ceil(
+            F.lit(2.0 * threshold / (1.0 + threshold)) * F.col("n")
+            - F.lit(1e-9)
+        )
+        + 1
+    ).cast("int")
+    pa = ranked.filter(F.col("p") <= idx_len).alias("a")  # smaller side
+    pb = ranked.alias("b")  # larger side: full probing prefix
     # Lossless candidate filters (Bayardo'07 / Xiao'08), applied per
-    # matched prefix row BEFORE the distinct:
+    # matched prefix row:
+    # - canonical order: a strictly precedes b in (n, id);
     # - length: J ≥ τ ⟹ min(na,nb) ≥ τ·max(na,nb);
     # - positional: all common elements sort ≥ the pair's first shared
     #   prefix element, so |A∩B| ≤ 1 + min(na-pa, nb-pb); J ≥ τ needs
@@ -263,7 +281,10 @@ def ngram_jaccard_pairs(
     )
     cand = (
         pa.join(pb, "s")
-        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(
+            (F.col("a.n") < F.col("b.n"))
+            | ((F.col("a.n") == F.col("b.n")) & (F.col("a.id") < F.col("b.id")))
+        )
         .filter(
             (F.col("a.n") >= F.lit(threshold) * F.col("b.n") - F.lit(1e-9))
             & (F.col("b.n") >= F.lit(threshold) * F.col("a.n") - F.lit(1e-9))
@@ -273,8 +294,15 @@ def ngram_jaccard_pairs(
                 F.col("a.n") - F.col("a.p"), F.col("b.n") - F.col("b.p")
             ) >= alpha
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        # NO .distinct() here: measured 16.6M of 17.0M candidate rows
+        # were already unique (multi-shared-prefix duplicates are ~3%),
+        # so deduplicating before the verify cost a full 17M-row
+        # exchange to save 3% of the verify probes; the (tiny) verified
+        # output is deduplicated instead.
     )
     va = base.select(
         F.col("id").alias("id_a"), F.col("shs").alias("sa"), F.col("n").alias("na")
@@ -305,7 +333,11 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return _track(
-        out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")),
+        # distinct HERE (thousands of verified rows), not on the 17M
+        # candidate rows: multi-shared-prefix candidates verify to the
+        # same (id_a, id_b, jaccard) row
+        out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .distinct(),
         cached,
     )
 

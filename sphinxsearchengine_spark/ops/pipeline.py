@@ -28,7 +28,6 @@ from pyspark.sql import DataFrame, functions as F
 
 from .decontam import decontaminate
 from .sampling import stratified_sample, train_test_split
-from .textstats import quality_flag
 
 
 def _keeper_ids(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -37,11 +36,28 @@ def _keeper_ids(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tests/test_plans.py can assert the partial-aggregation shape; curate
     checkpoints it."""
     from .scanwidth import widen_scan
-    from .textstats import quality_flag
+    from .textstats import STOPWORDS, _tokens
 
+    # Explode-barrier around the tokenization (the r5 Generate-sibling
+    # trap, CLAUDE.md): quality_flag as a bare Column re-evaluates the
+    # split+filter tokenization once per quality sub-expression (~5x per
+    # row); materializing the token array once behind a Generate leaves
+    # three cheap array passes.  id/text ride through as attribute-only
+    # siblings (safe — only COMPUTED siblings of explode re-evaluate).
+    once = widen_scan(docs.select(id_col, text_col)).select(
+        id_col, text_col,
+        F.explode(F.array(_tokens(F.col(text_col)))).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    n = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, v: a + v
+    )
+    stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+    mean_len = F.when(n > 0, total_len.cast("double") / n).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n > 0, stop.cast("double") / n).otherwise(F.lit(0.0))
     return (
-        widen_scan(docs.select(id_col, text_col))
-        .filter(quality_flag(text_col))
+        once.filter((n >= 10) & (mean_len >= 2.5) & (stop_ratio <= 0.6))
         .select(F.md5(F.col(text_col)).alias("__kdig"), F.col(id_col))
         .groupBy("__kdig")
         .agg(F.min(id_col).alias("__kid"))

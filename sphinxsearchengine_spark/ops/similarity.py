@@ -46,9 +46,11 @@ def cosine_topk(
     Returns (id, cosine) — cosine rounded to 6dp for cross-engine
     comparability; ties broken by id.
     """
+    from .scanwidth import widen_scan
+
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = float(np.sqrt(np.dot(query_vec, query_vec)))
-    out = df.select(
+    out = widen_scan(df.select(id_col, vec_col)).select(
         F.col(id_col).alias("id"),
         (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))).alias("_c"),
     )
