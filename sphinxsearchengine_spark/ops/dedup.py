@@ -230,20 +230,77 @@ def ngram_jaccard_pairs(
     # was effectively random: at sf1.0 it produced 57.5M candidate
     # pairs for 2,544 real ones, and the verify join moved two ~1 KB
     # shingle arrays per candidate — 68 of 87 seconds.)
-    prefix_len = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
-    ranked = (
-        base.select("id", "n", F.explode("shs").alias("s"))
-        .join(sh_df, "s")
-        .groupBy("id", "n")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("rk"))
-        .select(
-            "id", "n",
-            F.posexplode(F.slice("rk", 1, prefix_len)).alias("p", "e"),
+    if n_docs is not None and n_docs <= 100_000:
+        # Driver-RAM prefix ranking (same provably-small gate as the
+        # verify-join broadcast below): collect the (shingle, df) table
+        # once, broadcast it as two sorted numpy arrays, and emit each
+        # doc's prefix rows from ONE vectorized mapInPandas pass over
+        # the stored shingle arrays — identical output to the JVM chain
+        # below (measured ~3.7 s at the sf1.0 replica: explode 2.6M +
+        # broadcast join + ObjectHashAggregate collect_list + array_sort
+        # + posexplode), for ~0.6 s.
+        sh_pdf = sh_df.toPandas()
+        _s = sh_pdf["s"].to_numpy(dtype=np.int64)
+        _order = np.argsort(_s)
+        sh_bc = df.sparkSession.sparkContext.broadcast(
+            (_s[_order], sh_pdf["df"].to_numpy(dtype=np.int64)[_order])
         )
-        .select("id", "n", (F.col("p") + 1).alias("p"), F.col("e.s").alias("s"))
-        .persist()  # both sides of the self-join read it (else the
-        # whole explode+join+collect_list+posexplode subtree runs twice)
-    )
+        thr = float(threshold)
+
+        def _prefix_rows(pdf_iter):
+            s_arr, df_arr = sh_bc.value
+            for pdf in pdf_iter:
+                m = len(pdf)
+                if m == 0:
+                    continue
+                ns = pdf["n"].to_numpy(dtype=np.int64)
+                flat = (
+                    np.concatenate(list(pdf["shs"]))
+                    if m else np.empty(0, np.int64)
+                ).astype(np.int64)
+                dfs = df_arr[np.searchsorted(s_arr, flat)]
+                doc_of = np.repeat(np.arange(m), ns)
+                order = np.lexsort((flat, dfs, doc_of))
+                d_s = doc_of[order]
+                start = np.cumsum(ns) - ns
+                rank = np.arange(len(flat)) - start[d_s]
+                # same double math as F.ceil(lit(τ) * col n)
+                plen = (ns - np.ceil(thr * ns) + 1).astype(np.int64)
+                keep = rank < plen[d_s]
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy()[d_s[keep]],
+                        "n": pd.array(ns[d_s[keep]], dtype="int32"),
+                        "p": pd.array(rank[keep] + 1, dtype="int32"),
+                        "s": flat[order][keep],
+                    }
+                )
+
+        ranked = (
+            base.select("id", "n", "shs")
+            .mapInPandas(_prefix_rows, schema="id long, n int, p int, s long")
+            .persist()
+        )
+    else:
+        prefix_len = (
+            F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        ).cast("int")
+        ranked = (
+            base.select("id", "n", F.explode("shs").alias("s"))
+            .join(sh_df, "s")
+            .groupBy("id", "n")
+            .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("rk"))
+            .select(
+                "id", "n",
+                F.posexplode(F.slice("rk", 1, prefix_len)).alias("p", "e"),
+            )
+            .select(
+                "id", "n", (F.col("p") + 1).alias("p"), F.col("e.s").alias("s")
+            )
+            .persist()  # both sides of the self-join read it (else the
+            # whole explode+join+collect_list+posexplode subtree runs
+            # twice)
+        )
     cached.append(ranked)
     # Asymmetric prefixes (PPJoin, Xiao et al. WWW'08 §3.2): order docs
     # canonically by (n, id); a qualifying pair's first shared shingle
