@@ -17,11 +17,15 @@ import numpy as np
 _THRESHOLDS = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
 
 
-def vb_encode(values: np.ndarray) -> bytes:
-    """Varbyte-encode a uint64 array (no delta)."""
+def vb_encode(values: np.ndarray, return_lens: bool = False):
+    """Varbyte-encode a uint64 array (no delta).
+
+    With ``return_lens`` also returns the per-value encoded byte count
+    (int64 array) — the builder needs it to slice per-group blobs and
+    previously recomputed it with an identical threshold loop (r6)."""
     arr = np.ascontiguousarray(values, dtype=np.uint64)
     if arr.size == 0:
-        return b""
+        return (b"", np.empty(0, dtype=np.int64)) if return_lens else b""
     nbytes = np.ones(arr.size, dtype=np.int64)
     mx = arr.max()
     for t in _THRESHOLDS:
@@ -32,6 +36,14 @@ def vb_encode(values: np.ndarray) -> bytes:
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
     starts = ends - nbytes
     for k in range(10):
+        if k == 0:
+            # first 7-bit group exists for EVERY value: skip the
+            # all-true boolean mask and its three full-size gathers (r6
+            # — this pass dominates when most deltas fit one byte)
+            out[starts] = (arr & np.uint64(0x7F)).astype(np.uint8) | (
+                (nbytes > 1).astype(np.uint8) << 7
+            )
+            continue
         mask = nbytes > k
         if not mask.any():
             break
@@ -39,6 +51,8 @@ def vb_encode(values: np.ndarray) -> bytes:
         group = (arr[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)
         cont = (nbytes[mask] - 1 > k).astype(np.uint8) << 7
         out[idx] = group.astype(np.uint8) | cont
+    if return_lens:
+        return out.tobytes(), nbytes
     return out.tobytes()
 
 

@@ -62,6 +62,8 @@ import struct
 import numpy as np
 import pandas as pd
 
+from sphinxsearchengine_spark.npsort import int_order
+
 PACKED_SCHEMA = "bucket int, salt int, term string, blob binary"
 
 _U64 = np.uint64
@@ -132,15 +134,23 @@ def pack_batch(out: dict, nb: int, salt_factor: int):
     field = out["field"].astype(np.uint8)
     tf = out["tf"].astype("<u4")
     etf = out["exact_tf"].astype("<u4")
-    pos_list = out["pos_vb"]
-    if "pos_len" in out:
+    if "pos_blob" in out:
+        # contiguous per-batch blob + per-posting lengths straight from
+        # the tokenizer (r6) — no 2M-bytes-object join
+        posbuf = np.frombuffer(out["pos_blob"], dtype=np.uint8)
         pl = out["pos_len"].astype(np.int64)
     else:
-        pl = np.fromiter((len(b) for b in pos_list), np.int64, n_post)
-    posbuf = np.frombuffer(b"".join(pos_list), dtype=np.uint8)
+        pos_list = out["pos_vb"]
+        if "pos_len" in out:
+            pl = out["pos_len"].astype(np.int64)
+        else:
+            pl = np.fromiter((len(b) for b in pos_list), np.int64, n_post)
+        posbuf = np.frombuffer(b"".join(pos_list), dtype=np.uint8)
     pstart = np.cumsum(pl) - pl
 
-    order = np.lexsort((docid, field, salt, tcodes))
+    # (tcodes, salt, field, docid) tuples are unique — one posting per
+    # (term, field, docid) — so the packed-key quicksort == lexsort
+    order = int_order(docid, field, salt, tcodes)
     t_s = tcodes[order]
     s_s = salt[order]
     d_b = docid[order].astype("<i8").tobytes()
@@ -189,7 +199,10 @@ def pack_batch(out: dict, nb: int, salt_factor: int):
     # constants within a batch, so which occurrence survives is
     # irrelevant; the sorted order matches the old np.unique output).
     pbucket = ubucket[tcodes].astype(np.int64)
-    po = np.lexsort((docid, pbucket))
+    # ties within a (bucket, docid) run may permute vs lexsort — the
+    # dedupe below keeps an arbitrary survivor, whose attrs are per-doc
+    # constants, so the output is unchanged
+    po = int_order(docid, pbucket)
     pb_s, pd_s = pbucket[po], docid[po]
     keep = np.ones(len(po), dtype=bool)
     keep[1:] = (pb_s[1:] != pb_s[:-1]) | (pd_s[1:] != pd_s[:-1])
@@ -203,7 +216,7 @@ def pack_batch(out: dict, nb: int, salt_factor: int):
     lbytes = [str(s).encode() for s in luniq]
     llen = np.asarray([len(b) for b in lbytes], dtype=np.uint8)
 
-    aorder = np.lexsort((a_docid, a_salt, a_bucket))
+    aorder = int_order(a_docid, a_salt, a_bucket)  # unique keys
     ab = a_bucket[aorder]
     asl = a_salt[aorder]
     ad_b = a_docid[aorder].astype("<i8").tobytes()
@@ -497,7 +510,9 @@ def packed_writer_and_rollup(postings_path: str, block_shift: int):
                 "packed exchange: posting docid missing from attr sideband"
             )
 
-        order = np.lexsort((docid, field, rank_of[pcode], pbkt))
+        # unique (bucket, term, field, docid) keys — packed quicksort
+        # orders identically to the old stable lexsort
+        order = int_order(docid, field, rank_of[pcode], pbkt)
         d_s = docid[order]
         f_s = field[order]
         tf_s = tf[order]
@@ -550,32 +565,29 @@ def packed_writer_and_rollup(postings_path: str, block_shift: int):
         # run bounds — np.unique(axis=0) argsorts a void dtype (~3 s per
         # 2.4M-posting partition, r6 profile); output order (code asc,
         # docid asc) and inverse semantics are identical
-        o2 = np.lexsort((d_s, c_s))
+        # sort once by (code, docid) — ties (same pair from different
+        # fields) aggregate with order-insensitive ops — then reduceat
+        # over the runs.  The old np.add.at / bitwise_or.at scatter
+        # loops were the rollup's hot spot (ufunc.at is an unvectorized
+        # per-element loop, ~10x slower than reduceat; r6).
+        o2 = int_order(d_s, c_s)
         c2, d2 = c_s[o2], d_s[o2]
         newp = np.ones(len(o2), dtype=bool)
         newp[1:] = (c2[1:] != c2[:-1]) | (d2[1:] != d2[:-1])
-        gidx = np.cumsum(newp) - 1
-        inv = np.empty(len(o2), dtype=np.int64)
-        inv[o2] = gidx
-        upairs = np.stack([c2[newp], d2[newp]], axis=1)
-        m = len(upairs)
-        tfd = np.zeros(m, np.int64)
-        etfd = np.zeros(m, np.int64)
-        fmask = np.zeros(m, np.int64)
-        dsum = np.zeros(m, np.int64)
-        bucket_u = np.zeros(m, np.int32)
-        np.add.at(tfd, inv, tf_s)
-        np.add.at(etfd, inv, etf_s)
-        np.bitwise_or.at(fmask, inv, np.int64(1) << f_s)
-        np.maximum.at(dsum, inv, lk_di[ai_s] + lk_dm[ai_s])
-        bucket_u[inv] = b_s
-        blk = (upairs[:, 1].astype(np.uint64) >> np.uint64(block_shift)).astype(
+        rstarts = np.flatnonzero(newp)
+        ucode, udoc = c2[rstarts], d2[rstarts]
+        tfd = np.add.reduceat(tf_s[o2], rstarts)
+        etfd = np.add.reduceat(etf_s[o2], rstarts)
+        fmask = np.bitwise_or.reduceat((np.int64(1) << f_s)[o2], rstarts)
+        dsum = np.maximum.reduceat((lk_di[ai_s] + lk_dm[ai_s])[o2], rstarts)
+        bucket_u = b_s[o2[rstarts]].astype(np.int32)
+        blk = (udoc.astype(np.uint64) >> np.uint64(block_shift)).astype(
             np.int64
         )
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(bucket_u, pa.int32()),
-                pa.array(runiq[upairs[:, 0]], pa.string()),
+                pa.array(runiq[ucode], pa.string()),
                 pa.array(blk, pa.int64()),
                 pa.array(tfd, pa.int64()),
                 pa.array(etfd, pa.int64()),
