@@ -63,7 +63,12 @@ def release_intermediates(pairs_df: DataFrame) -> None:
     module was built on.  Call AFTER materializing the pairs (collect /
     write); before that, releasing would just force recomputation."""
     for c in getattr(pairs_df, "_sse_cached_intermediates", ()):
-        c.unpersist()
+        # blocking: the contract is "no cache accumulates across loop
+        # iterations" — the default async unpersist can leave blocks
+        # visible (and memory held) briefly after return, which both
+        # breaks the contract under a tight loop and flakes the
+        # storage-info test on a loaded box
+        c.unpersist(blocking=True)
 
 
 def shingles_df(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
@@ -258,9 +263,17 @@ def ngram_jaccard_pairs(
                     np.concatenate(list(pdf["shs"]))
                     if m else np.empty(0, np.int64)
                 ).astype(np.int64)
-                dfs = df_arr[np.searchsorted(s_arr, flat)]
+                ridx = np.searchsorted(s_arr, flat)
+                dfs = df_arr[ridx]
                 doc_of = np.repeat(np.arange(m), ns)
-                order = np.lexsort((flat, dfs, doc_of))
+                # rank is order-isomorphic to the hash (s_arr ascending),
+                # so sorting by (doc, df, rank) == (doc, df, hash); the
+                # (doc, df, rank) triples are unique (distinct shingles
+                # per doc) and all three keys are small non-negative ints
+                # — packed quicksort instead of a 3-key 64-bit lexsort
+                from sphinxsearchengine_spark.npsort import int_order
+
+                order = int_order(ridx, dfs, doc_of)
                 d_s = doc_of[order]
                 start = np.cumsum(ns) - ns
                 rank = np.arange(len(flat)) - start[d_s]

@@ -315,7 +315,11 @@ def _ngram_count_batches(ns: tuple[int, ...]):
                     g = key[valid]
                     dv = dd[valid]
                     if len(g):
-                        order = np.lexsort((g, dv))
+                        # ties within a (doc, key) run permute freely —
+                        # only run lengths are consumed below (r6)
+                        from sphinxsearchengine_spark.npsort import int_order
+
+                        order = int_order(g, dv)
                         gs, ds = g[order], dv[order]
                         newrun = np.empty(len(gs), bool)
                         newrun[0] = True

@@ -550,9 +550,24 @@ def _make_scorer(n_groups: int, phrase_alts: dict[int, dict[int, int]],
         midx_v = pr["midx"].to_numpy()[row_of_val]
         ispm_v = pr["is_pm"].to_numpy()[row_of_val]
         pid_v = pr["pid"].to_numpy()[row_of_val]
-        pairs = np.stack([docid_v, fld_v.astype(np.int64)], axis=1)
-        if len(pairs):
-            uniq, key_of_val = np.unique(pairs, axis=0, return_inverse=True)
+        if len(docid_v):
+            # exact np.unique(pairs, axis=0, return_inverse=True)
+            # replacement (r6): factorize docid with SORTED uniques, pack
+            # (rank, field) into one int64 and quicksort-argsort it — the
+            # void-dtype row sort was ~5x slower at the same output.
+            # Sorted-docid order is preserved EXACTLY (rank is docid's
+            # ascending rank), so downstream float accumulation order —
+            # and with it every rounded score — is unchanged.
+            codes, du = pd.factorize(docid_v, sort=True)
+            pkey = (codes.astype(np.int64) << 2) | fld_v.astype(np.int64)
+            po = np.argsort(pkey)
+            k_o = pkey[po]
+            knew = np.ones(len(k_o), dtype=bool)
+            knew[1:] = k_o[1:] != k_o[:-1]
+            key_of_val = np.empty(len(po), dtype=np.int64)
+            key_of_val[po] = np.cumsum(knew) - 1
+            ks = k_o[knew]
+            uniq = np.stack([du[ks >> 2], ks & 3], axis=1)
         else:
             uniq = np.empty((0, 2), dtype=np.int64)
             key_of_val = np.empty(0, dtype=np.int64)
@@ -611,7 +626,17 @@ def _make_scorer(n_groups: int, phrase_alts: dict[int, dict[int, int]],
                 idxc = np.clip(idx, 0, prev_codes.size - 1)
                 hit = prev_codes[idxc] == (cur - 1)
                 lens = np.where(hit, prev_lens[idxc] + 1, 1).astype(np.int32)
-            np.maximum.at(best_arr, cur >> _POS_BITS, lens)
+            # cur is sorted, so equal high-bits keys are contiguous:
+            # per-run maxima via reduceat, then one gathered np.maximum —
+            # ufunc.at is an unvectorized scatter loop (r6)
+            keys = cur >> _POS_BITS
+            rnew = np.ones(keys.size, dtype=bool)
+            rnew[1:] = keys[1:] != keys[:-1]
+            rs = np.flatnonzero(rnew)
+            kk = keys[rs]
+            best_arr[kk] = np.maximum(
+                best_arr[kk], np.maximum.reduceat(lens, rs)
+            )
             prev_codes, prev_lens = cur, lens
         lcs_df = pd.DataFrame(
             {
