@@ -418,6 +418,10 @@ def packed_writer_and_rollup(postings_path: str, block_shift: int):
     docid) total order, attrs re-attached from the sideband."""
 
     def gen(batch_iter):
+        import os
+        import sys
+        import time as _time
+
         import pyarrow as pa
         import pyarrow.compute as pc
         from pyspark import TaskContext
@@ -426,7 +430,15 @@ def packed_writer_and_rollup(postings_path: str, block_shift: int):
             _task_write_parquet,
         )
 
+        _trace = os.environ.get("SSE_REDUCER_TIMING") == "1"
+        _marks = [("start", _time.time())]
+
+        def _mark(label):
+            if _trace:
+                _marks.append((label, _time.time()))
+
         batches = list(batch_iter)
+        _mark("fetch")
         if not batches:
             return
         table = pa.Table.from_batches(batches)
@@ -454,6 +466,7 @@ def packed_writer_and_rollup(postings_path: str, block_shift: int):
                 "packed exchange: partition has postings but no attr "
                 "sideband rows (map side must emit both per (bucket, salt))"
             )
+        _mark("combine+filter")
         (lk_doc, lk_di, lk_dm, lk_lc, lk_luniq) = _decode_attr_rows(
             attr_tab.column("blob").to_pylist()
         )
@@ -512,6 +525,7 @@ def packed_writer_and_rollup(postings_path: str, block_shift: int):
 
         # unique (bucket, term, field, docid) keys — packed quicksort
         # orders identically to the old stable lexsort
+        _mark("attr+blobdecode")
         order = int_order(docid, field, rank_of[pcode], pbkt)
         d_s = docid[order]
         f_s = field[order]
@@ -524,6 +538,7 @@ def packed_writer_and_rollup(postings_path: str, block_shift: int):
         tot = int(pl_s.sum())
         rep_start = pstart[order]
         pos_sorted = _gather(posdata, rep_start, pl_s)
+        _mark("sort+gather")
 
         term_dict = pa.DictionaryArray.from_arrays(
             pa.array(c_s.astype(np.int32)), pa.array(runiq)
@@ -551,6 +566,7 @@ def packed_writer_and_rollup(postings_path: str, block_shift: int):
                 "date_modify": pa.array(lk_dm[ai_s], pa.int64()),
             }
         )
+        _mark("build_out_tab")
         pid = TaskContext.get().partitionId()
         bounds = np.flatnonzero(np.diff(b_s)) + 1
         bstarts = np.concatenate(([0], bounds))
@@ -570,6 +586,7 @@ def packed_writer_and_rollup(postings_path: str, block_shift: int):
         # over the runs.  The old np.add.at / bitwise_or.at scatter
         # loops were the rollup's hot spot (ufunc.at is an unvectorized
         # per-element loop, ~10x slower than reduceat; r6).
+        _mark("parquet_write")
         o2 = int_order(d_s, c_s)
         c2, d2 = c_s[o2], d_s[o2]
         newp = np.ones(len(o2), dtype=bool)
@@ -584,6 +601,17 @@ def packed_writer_and_rollup(postings_path: str, block_shift: int):
         blk = (udoc.astype(np.uint64) >> np.uint64(block_shift)).astype(
             np.int64
         )
+        _mark("rollup")
+        if _trace:
+            import json as _json
+            sys.stderr.write(
+                "REDTIME " + _json.dumps(
+                    {"pid": TaskContext.get().partitionId(),
+                     "rows": int(table.num_rows),
+                     **{lab: round(t - _marks[i][1], 3)
+                        for i, (lab, t) in enumerate(_marks[1:])}}
+                ) + "\n"
+            )
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(bucket_u, pa.int32()),

@@ -332,6 +332,11 @@ def ngram_jaccard_pairs(
         )
         + 1
     ).cast("int")
+    # NOTE (r6, measured): a shuffle_hash hint here removes the SMJ's
+    # two prefix-side sorts but bought nothing at the sf1.0 replica
+    # (9.8-10.2 s vs 9.1 warm) — the join cost is dominated by the 11.5M
+    # matched-row stream, not the sorts — so the stats-free SMJ default
+    # stays (safer memory profile at scale).
     pa = ranked.filter(F.col("p") <= idx_len).alias("a")  # smaller side
     pb = ranked.alias("b")  # larger side: full probing prefix
     # Lossless candidate filters (Bayardo'07 / Xiao'08), applied per
