@@ -456,29 +456,33 @@ def packed_writer_and_rollup(postings_path: str, block_shift: int):
             table = table.combine_chunks()
         if table.num_rows == 0:
             return
-        isattr = pc.is_null(table.column("term"))
-        attr_tab = table.filter(isattr)
-        post_tab = table.filter(pc.invert(isattr))
-        if post_tab.num_rows == 0:
+        # posting/attr rows split by INDEX, not by two table.filter()
+        # passes — each filter re-copied the whole ~20 MB blob column
+        # per task (r6; the section gathers below only touch the rows
+        # they're given, so filtering up front bought nothing).
+        term_col = table.column("term").chunk(0)
+        isattr_np = pc.is_null(term_col).to_numpy(zero_copy_only=False)
+        post_idx = np.flatnonzero(~isattr_np)
+        attr_idx = np.flatnonzero(isattr_np)
+        if len(post_idx) == 0:
             return
-        if attr_tab.num_rows == 0:
+        if len(attr_idx) == 0:
             raise RuntimeError(
                 "packed exchange: partition has postings but no attr "
                 "sideband rows (map side must emit both per (bucket, salt))"
             )
         _mark("combine+filter")
+        offs, data = _binary_view(table.column("blob").chunk(0))
         (lk_doc, lk_di, lk_dm, lk_lc, lk_luniq) = _decode_attr_rows(
-            attr_tab.column("blob").to_pylist()
+            [
+                data[offs[i]:offs[i + 1]].tobytes()
+                for i in attr_idx.tolist()
+            ]
         )
 
-        # ---- vectorized blob decode ----------------------------------
-        blob_col = post_tab.column("blob")
-        blob_arr = (
-            blob_col.chunk(0) if blob_col.num_chunks == 1
-            else blob_col.combine_chunks()
-        )
-        offs, data = _binary_view(blob_arr)
-        starts = offs[:-1]
+        # ---- vectorized blob decode (posting rows only) ---------------
+        starts = offs[:-1][post_idx]
+        row_ends = offs[1:][post_idx]
         n_arr = (
             _gather(data, starts, np.full(len(starts), 4, dtype=np.int64))
             .view("<u4").astype(np.int64)
@@ -494,23 +498,22 @@ def packed_writer_and_rollup(postings_path: str, block_shift: int):
         tf = _gather(data, t0, 4 * n_arr).view("<u4").astype(np.int64)
         etf = _gather(data, e0, 4 * n_arr).view("<u4").astype(np.int64)
         pl = _gather(data, p0, 4 * n_arr).view("<u4").astype(np.int64)
-        posdata = _gather(data, pos0, offs[1:] - pos0)
+        posdata = _gather(data, pos0, row_ends - pos0)
         pstart = np.cumsum(pl) - pl
 
-        enc = pc.dictionary_encode(
-            post_tab.column("term").combine_chunks()
-            if post_tab.column("term").num_chunks != 1
-            else post_tab.column("term").chunk(0)
+        enc = pc.dictionary_encode(term_col)  # nulls never enter the dict
+        rcode = (
+            enc.indices.take(pa.array(post_idx, pa.int64()))
+            .to_numpy(zero_copy_only=False).astype(np.int64)
         )
-        rcode = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         runiq = np.asarray(enc.dictionary.to_pylist(), dtype=object)
         rank_of = np.empty(len(runiq), dtype=np.int64)
         rank_of[np.argsort(runiq, kind="stable")] = np.arange(len(runiq))
 
         pcode = np.repeat(rcode, n_arr)
         pbkt = np.repeat(
-            post_tab.column("bucket").to_numpy(zero_copy_only=False)
-            .astype(np.int32),
+            table.column("bucket").chunk(0)
+            .to_numpy(zero_copy_only=False).astype(np.int32)[post_idx],
             n_arr,
         )
         ai = np.searchsorted(lk_doc, docid)
